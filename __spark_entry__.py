@@ -1,38 +1,527 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+over the driver's testdata tables; ``oracle_sql()`` gives the DuckDB twin.
+SQL strings are *generated from the same constants* (regex classes, hash
+formulas, cutoff tables, stub-model arithmetic) the Spark expressions use,
+so engine and oracle cannot silently diverge.
+
+Notes on table mapping: the engine's native input is the image+caption
+``pairs`` table (synthesized deterministically — see ccnet_spark_spark.synth);
+the driver's ``documents`` table is single-line text, so line-level operators
+split on spaces there (same operator, different separator). Model-backed and
+approximate operators (pairs pipeline, simhash, LSH ANN, image stats) have no
+SQL twin and are registered as rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ccnet_spark_spark.functions import hashing, textstats
+from ccnet_spark_spark.functions.normalize import (
+    normalize_for_dedup_expr,
+    normalize_for_dedup_sql,
+)
+from ccnet_spark_spark.functions.scrub import scrub_expr, scrub_sql
+from ccnet_spark_spark.operators import bucket as bucket_op
+from ccnet_spark_spark.operators import dedup, perplexity, similarity, tokenize
+
+MIN_LEN_DOCS = 280  # documents are shorter than captions; same operator
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))  # placeholder
+
+
+# --------------------------------------------------------------------------
+# shared sub-plans (Spark side)
+# --------------------------------------------------------------------------
+def _word_lines(docs: DataFrame) -> DataFrame:
+    """documents.text -> (doc_id, line_id, line): the P2 explode with ' ' as
+    the separator (documents are single-line)."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("line_id", "line")
+    )
+
+
+def _hashed_lines(docs: DataFrame) -> DataFrame:
+    lines = _word_lines(docs)
+    return lines.withColumn(
+        "hash_value", hashing.line_hash_expr(normalize_for_dedup_expr(F.col("line")))
+    )
+
+
+# SQL twin of the explode (DuckDB): unnest + generate_subscripts
+_LINES_SQL = (
+    "(select doc_id, generate_subscripts(arr, 1) - 1 as line_id, unnest(arr) as line "
+    "from (select doc_id, string_split(text, ' ') as arr from documents))"
+)
+_HASHED_SQL = (
+    f"(select doc_id, line_id, line, {hashing.line_hash_sql(normalize_for_dedup_sql('line'))} as hash_value "
+    f"from {_LINES_SQL})"
+)
+
+
+# --------------------------------------------------------------------------
+# stub-LM perplexity SQL twin (closed-form over word lengths; see
+# ccnet_spark_spark.models.stub_tokenize_one / stub_logscore_piece)
+# --------------------------------------------------------------------------
+def _pp_sql(text_expr: str) -> str:
+    toks = f"list_filter(regexp_split_to_array({text_expr}, '\\s+'), t -> t <> '')"
+    ls = "-(1.0 + (({p}) % 7) / 2.0)"
+    sumls = (
+        ls.format(p="1 + least(length(t), 3)")
+        + " + case when length(t) > 3 then "
+        "-(cast(floor((length(t) - 4) / 3) as double) * 2.5) "
+        + "+ (" + ls.format(p="((length(t) - 4) % 3) + 1") + ") else 0.0 end"
+    )
+    npieces = "1 + case when length(t) > 3 then floor((length(t) - 4) / 3) + 1 else 0 end"
+    return (
+        f"round(pow(10.0, -(list_sum(list_transform({toks}, t -> {sumls}))) / "
+        f"(list_sum(list_transform({toks}, t -> cast({npieces} as double))) + 1.0)), 1)"
+    )
+
+
+def _cutoffs() -> dict[str, tuple[float, float]]:
+    return bucket_op.load_cutoffs_dict()
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the ccnet chain (explode -> normalize -> hash -> dedup_keep
+    -> regroup -> tokenize -> perplexity -> bucket -> rollup) over the
+    sf0.001 documents table."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    survivors = dedup.dedup_keep(_hashed_lines(docs), id_col="doc_id")
+    regrouped = dedup.regroup(survivors, id_col="doc_id")
+    regrouped = regrouped.withColumn(
+        "dedup_caption", F.regexp_replace("dedup_caption", "\n", " ")
+    )
+    enriched = regrouped.join(docs.select("doc_id", "lang"), "doc_id")
+    enriched = tokenize.with_tokenized(enriched, "dedup_caption")
+    enriched = perplexity.with_perplexity(enriched, "tokenized")
+    out = bucket_op.with_bucket(enriched, bucket_op.load_cutoffs(spark, cutoffs=_cutoffs()))
+    return (
+        out.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nlines").alias("sum_nlines"),
+            F.round(F.avg(F.col("perplexity").cast("double")), 1).alias("avg_pp"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+def q_min_len_filter(spark, sf_dir):
+    # S4/P1: min-length source filter + real_len recompute
+    docs = _docs(spark, sf_dir)
+    return docs.where(F.length("text") >= MIN_LEN_DOCS).select(
+        "doc_id", F.length("text").cast("long").alias("length")
+    )
+
+
+def q_explode_lines(spark, sf_dir):
+    # P2: doc -> line posexplode
+    return _word_lines(_docs(spark, sf_dir))
+
+
+def q_normalize(spark, sf_dir):
+    # N1: normalize_for_dedup (lower/digits->0/strip punct+ctrl)
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize_for_dedup_expr(F.col("text")).alias("norm_text")
+    )
+
+
+def q_line_hash(spark, sf_dir):
+    # H1+H2: normalized line sha2-64 hash
+    return _hashed_lines(_docs(spark, sf_dir)).select("doc_id", "line_id", "hash_value")
+
+
+def q_dedup_keep(spark, sf_dir):
+    # H5 (deterministic min-owner variant)
+    return dedup.dedup_keep(_hashed_lines(_docs(spark, sf_dir)), id_col="doc_id")
+
+
+def _shingle_lines(docs: DataFrame) -> DataFrame:
+    """Trigram-shingle 'lines' (documents' word vocabulary is tiny, so
+    single words all repeat globally; 3-word shingles keep dedup_nokeep
+    non-degenerate). Same operator, coarser line definition."""
+    toks = F.split(F.col("text"), " ")
+    sh = hashing.word_shingles_expr(toks, n=3)
+    return docs.select("doc_id", F.posexplode(sh).alias("line_id", "line")).withColumn(
+        "hash_value", hashing.line_hash_expr(normalize_for_dedup_expr(F.col("line")))
+    )
+
+
+def q_dedup_nokeep(spark, sf_dir):
+    # H6: drop all copies of repeated lines
+    return dedup.dedup_nokeep(_shingle_lines(_docs(spark, sf_dir))).select(
+        "doc_id", "line_id", "line"
+    )
+
+
+def q_regroup(spark, sf_dir):
+    # H7: reassemble surviving lines into docs
+    survivors = dedup.dedup_keep(_hashed_lines(_docs(spark, sf_dir)), id_col="doc_id")
+    return dedup.regroup(survivors, id_col="doc_id").select(
+        "doc_id", "dedup_caption", "nlines", "length"
+    )
+
+
+def q_dup_counts(spark, sf_dir):
+    # A2: duplicate counting
+    return (
+        _hashed_lines(_docs(spark, sf_dir))
+        .groupBy("hash_value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def q_lang_filter(spark, sf_dir):
+    # P4: Column.isin language filter
+    return _docs(spark, sf_dir).where(F.col("lang").isin(["en", "fr"])).select("doc_id", "lang")
+
+
+def q_pp_bucket(spark, sf_dir):
+    # M2+M3+P6/J2: tokenize (pandas UDF) -> perplexity (pandas UDF) ->
+    # broadcast-join bucket. The oracle recomputes the full stub math.
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    t = tokenize.with_tokenized(docs, "text")
+    p = perplexity.with_perplexity(t, "tokenized")
+    out = bucket_op.with_bucket(p, bucket_op.load_cutoffs(spark, cutoffs=_cutoffs()))
+    return out.select(
+        "doc_id", "lang", F.round(F.col("perplexity").cast("double"), 1).alias("pp"), "bucket"
+    )
+
+
+def q_rollup(spark, sf_dir):
+    # A3: per-(lang, source) metrics rollup
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def q_topk_per_lang(spark, sf_dir):
+    # window top-k per group (common OLAP; deterministic tie-break)
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("lang", "doc_id", "n_chars", "rank")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    # exact doc-level dedup (keep min doc_id per normalized-text hash)
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text").select("doc_id", "lang")
+
+
+def q_fingerprint(spark, sf_dir):
+    # rolling/polynomial document fingerprint
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return docs.select("doc_id", hashing.fingerprint_expr(toks).alias("fingerprint"))
+
+
+def q_token_counts(spark, sf_dir):
+    # token counting: whitespace + BPE-ish regex
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        textstats.token_count_expr("text").cast("long").alias("ws_tokens"),
+        textstats.bpe_token_count_expr("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    # quality scoring: digit/punct ratios + composite
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(textstats.digit_ratio_expr("text"), 4).alias("digit_ratio"),
+        F.round(textstats.punct_ratio_expr("text"), 4).alias("punct_ratio"),
+        textstats.quality_score_expr("text").alias("quality"),
+    )
+
+
+def q_scrub(spark, sf_dir):
+    # PII/toxicity regex scrub chain
+    return _docs(spark, sf_dir).select("doc_id", scrub_expr(F.col("text")).alias("scrubbed"))
+
+
+def q_minhash_bands(spark, sf_dir):
+    # MinHash signature -> LSH band keys (exploded)
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    return sigs.select(
+        "doc_id", F.explode(hashing.band_keys_expr(F.col("signature"), 4, 2)).alias("band_key")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    # LSH candidate near-dup pairs
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    return dedup.minhash_lsh_candidates(sigs, "doc_id", num_bands=4, rows_per_band=2)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    # exact n-gram Jaccard similar pairs
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+def q_ann_topk(spark, sf_dir):
+    # brute-force cosine top-k (exact ANN baseline)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries_df, k=5)
+
+
+def q_cosine_neardup(spark, sf_dir):
+    # exact embedding-cosine near-dup pairs
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).where(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    va, vb = F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.zip_with(va, va, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(vb, vb, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 4))
+        .where(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_events_window(spark, sf_dir):
+    # tumbling-window aggregation (batch twin of the streaming plan)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+# ------------------------------------------------ rows-only (no SQL oracle)
+def q_pairs_pipeline(spark, sf_dir):
+    """Full image+caption pipeline on 400 deterministic synthetic pairs:
+    keep/drop verdict + scrubbed caption + bucket (model stages are pandas
+    UDFs — checked against the pandas oracle in tests/, rows-only here)."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 400)
+    out = Pipeline(spark, Config(cutoffs=_cutoffs())).run(pairs)
+    return out.select(
+        "image_id", "lang", "bucket", "keep", "drop_reason", "scrubbed_caption", "nlines", "length"
+    )
+
+
+def q_image_stats(spark, sf_dir):
+    """Multimodal: decode binary payloads (mapInPandas) -> channel stats."""
+    from ccnet_spark_spark.operators.multimodal import image_stats
+    from ccnet_spark_spark.synth import generate_pairs
+
+    return image_stats(generate_pairs(spark, 200))
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (vectorized pandas UDF; bit math not portably
+    SQL-expressible -> rows-only)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", hashing.make_simhash_udf()(F.col("text")).alias("simhash"))
+
+
+def q_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (scale path; approximate
+    by construction -> rows-only)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries_df, k=5, n_planes=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "min_len_filter": q_min_len_filter,
+        "explode_lines": q_explode_lines,
+        "normalize": q_normalize,
+        "line_hash": q_line_hash,
+        "dedup_keep": q_dedup_keep,
+        "dedup_nokeep": q_dedup_nokeep,
+        "regroup": q_regroup,
+        "dup_counts": q_dup_counts,
+        "lang_filter": q_lang_filter,
+        "pp_bucket": q_pp_bucket,
+        "rollup": q_rollup,
+        "topk_per_lang": q_topk_per_lang,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "scrub": q_scrub,
+        "minhash_bands": q_minhash_bands,
+        "minhash_pairs": q_minhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "cosine_neardup": q_cosine_neardup,
+        "events_window": q_events_window,
+        "pairs_pipeline": q_pairs_pipeline,
+        "image_stats": q_image_stats,
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = normalize_for_dedup_sql("text")
+    keep_sql = (
+        f"select doc_id, line_id, line from {_HASHED_SQL} "
+        "qualify row_number() over (partition by hash_value order by doc_id, line_id) = 1"
+    )
+    minhash8 = hashing.minhash_sql("sh", num_hashes=8)
+    shingles = (
+        "list_transform(range(0, greatest(len(toks) - 2, 0)), "
+        "i -> list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2) || ' ' || list_extract(toks, i + 3))"
+    )
+    toks_norm = f"regexp_split_to_array({norm}, '\\s+')"
+    sig_cte = (
+        f"with sigs as (select doc_id, {minhash8} as sig from "
+        f"(select doc_id, {shingles} as sh from (select doc_id, {toks_norm} as toks from documents))), "
+        "bands as (select doc_id, unnest(["
+        "'0|' || sig[1] || sig[2], '1|' || sig[3] || sig[4], "
+        "'2|' || sig[5] || sig[6], '3|' || sig[7] || sig[8]]) as band_key from sigs)"
+    )
+    cutoffs = _cutoffs()
+    fp_toks = "string_split(text, ' ')"
+    cos = (
+        "round(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> cast(list_extract(a.embedding, i) as double) * cast(list_extract(b.embedding, i) as double))) "
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double)))) "
+        "* sqrt(list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double))))), 4)"
+    )
+    return {
+        "min_len_filter": (
+            f"select doc_id, length(text) as length from documents where length(text) >= {MIN_LEN_DOCS}"
+        ),
+        "explode_lines": f"select doc_id, line_id, line from {_LINES_SQL}",
+        "normalize": f"select doc_id, {norm} as norm_text from documents",
+        "line_hash": f"select doc_id, line_id, hash_value from {_HASHED_SQL}",
+        "dedup_keep": keep_sql,
+        "dedup_nokeep": (
+            "select doc_id, line_id, line from ("
+            "select doc_id, line_id, line, "
+            + hashing.line_hash_sql(normalize_for_dedup_sql("line"))
+            + " as hash_value from ("
+            "select doc_id, generate_subscripts(sh, 1) - 1 as line_id, unnest(sh) as line "
+            "from (select doc_id, "
+            "list_transform(range(0, greatest(len(arr) - 2, 0)), "
+            "i -> list_extract(arr, i + 1) || ' ' || list_extract(arr, i + 2) || ' ' || list_extract(arr, i + 3)) as sh "
+            "from (select doc_id, string_split(text, ' ') as arr from documents)))) "
+            "qualify count(*) over (partition by hash_value) = 1"
+        ),
+        "regroup": (
+            f"select doc_id, string_agg(line, chr(10) order by line_id) as dedup_caption, "
+            f"cast(count(*) as int) as nlines, "
+            f"cast(length(string_agg(line, chr(10) order by line_id)) as int) as length "
+            f"from ({keep_sql}) group by doc_id"
+        ),
+        "dup_counts": (
+            f"select hash_value, count(*) as cnt from {_HASHED_SQL} group by hash_value having count(*) > 1"
+        ),
+        "lang_filter": "select doc_id, lang from documents where lang in ('en', 'fr')",
+        "pp_bucket": (
+            f"select doc_id, lang, {_pp_sql('text')} as pp, "
+            + bucket_op.bucket_case_sql(_pp_sql("text"), "lang", cutoffs)
+            + " as bucket from documents"
+        ),
+        "rollup": (
+            "select lang, source, count(*) as n_docs, sum(n_chars) as sum_chars, "
+            "round(avg(n_chars), 2) as avg_chars from documents group by lang, source"
+        ),
+        "topk_per_lang": (
+            "select lang, doc_id, n_chars, "
+            "row_number() over (partition by lang order by n_chars desc, doc_id asc) as rank "
+            "from documents qualify rank <= 3"
+        ),
+        "exact_dedup": (
+            f"select doc_id, lang from documents "
+            f"qualify row_number() over (partition by {hashing.line_hash_sql(norm)} order by doc_id) = 1"
+        ),
+        "fingerprint": (
+            f"select doc_id, {hashing.fingerprint_sql(fp_toks)} as fingerprint from documents"
+        ),
+        "token_counts": (
+            f"select doc_id, {textstats.token_count_sql('text')} as ws_tokens, "
+            f"{textstats.bpe_token_count_sql('text')} as bpe_tokens from documents"
+        ),
+        "quality": (
+            f"select doc_id, round({textstats.digit_ratio_sql('text')}, 4) as digit_ratio, "
+            f"round({textstats.punct_ratio_sql('text')}, 4) as punct_ratio, "
+            f"{textstats.quality_score_sql('text')} as quality from documents"
+        ),
+        "scrub": f"select doc_id, {scrub_sql('text')} as scrubbed from documents",
+        "minhash_bands": f"{sig_cte} select doc_id, band_key from bands",
+        "minhash_pairs": (
+            f"{sig_cte} select distinct a.doc_id as id_a, b.doc_id as id_b "
+            "from bands a join bands b using (band_key) where a.doc_id < b.doc_id"
+        ),
+        "jaccard_pairs": (
+            "with sh as (select doc_id, unnest(list_distinct("
+            + shingles.replace("toks", toks_norm)
+            + ")) as shingle from documents), "
+            "sizes as (select doc_id, count(*) as n_sh from sh group by doc_id), "
+            "shared as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared "
+            "from sh a join sh b using (shingle) where a.doc_id < b.doc_id group by 1, 2) "
+            "select id_a, id_b, round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) as jaccard "
+            "from shared join sizes sa on sa.doc_id = id_a join sizes sb on sb.doc_id = id_b "
+            "where round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.5"
+        ),
+        "ann_topk": (
+            "with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5), "
+            "scored as (select q.query_id, b.vec_id as neighbor_id, "
+            + cos.replace("a.embedding", "q.embedding")
+            + " as cosine from q, embeddings b where b.vec_id <> q.query_id) "
+            "select query_id, neighbor_id, "
+            "row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank, cosine "
+            "from scored qualify rank <= 5"
+        ),
+        "cosine_neardup": (
+            "select a.vec_id as id_a, b.vec_id as id_b, " + cos + " as cosine "
+            "from embeddings a, embeddings b "
+            "where a.vec_id < 200 and b.vec_id < 200 and a.vec_id < b.vec_id "
+            "and " + cos + " >= 0.4"
+        ),
+        "events_window": (
+            "select time_bucket(interval '5 minutes', ts) as window_start, event_type, "
+            "count(*) as n, round(sum(value), 2) as total_value from events group by 1, 2"
+        ),
+    }

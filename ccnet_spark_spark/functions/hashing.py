@@ -1,0 +1,139 @@
+"""Hashing primitives: line hashes, MinHash signatures, SimHash,
+polynomial document fingerprints.
+
+Line hash mirrors the reference's H2 (/root/reference/pipe_line.py:204-206):
+``substring(sha2(normalized, 256), 1, 16)`` — 64 bits as hex text. A faster
+``xxhash64`` variant exists for the scale path (same dedup semantics, true
+int64, no hex materialization); the sha2 prefix is kept as default because
+it is reproducible in DuckDB/python for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_HEX_CHARS = 16  # 16 hex chars = 64 bits (reference comment pipe_line.py:205)
+
+
+def line_hash_expr(col: Column | str, algo: str = "sha2") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    if algo == "xxhash64":
+        return F.xxhash64(c)
+    return F.substring(F.sha2(c, 256), 1, HASH_HEX_CHARS)
+
+
+def line_hash_sql(expr: str) -> str:
+    """DuckDB twin of the default sha2 line hash."""
+    return f"substr(sha256({expr}), 1, {HASH_HEX_CHARS})"
+
+
+def line_hash_py(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()[:HASH_HEX_CHARS]
+
+
+# ------------------------------------------------------------------ MinHash
+def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array, as built-in expressions:
+    transform(sequence(0, size-n), i -> concat_ws(' ', tokens[i..i+n-1])).
+    Empty result when fewer than n tokens."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(n)]))
+
+
+def minhash_expr(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<string>: per hash-seed s, the lexicographic
+    min over shingles of substr(sha256(s || ':' || shingle), 1, 8).
+
+    sha256-based so DuckDB reproduces it exactly; at the pure-perf scale path
+    swap the inner hash for xxhash64(s, shingle). Null/empty shingles ->
+    signature of 'z' sentinels (never collides with real hex)."""
+    sig = []
+    for s in range(num_hashes):
+        hashed = F.transform(shingles, lambda x, s=s: F.substring(F.sha2(F.concat(F.lit(f"{s}:"), x), 256), 1, 8))
+        sig.append(F.coalesce(F.array_min(hashed), F.lit("z")))
+    return F.array(*sig)
+
+
+def minhash_sql(shingles_expr: str, num_hashes: int = 16) -> str:
+    parts = [
+        f"coalesce(list_min(list_transform({shingles_expr}, x -> substr(sha256('{s}:' || x), 1, 8))), 'z')"
+        for s in range(num_hashes)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def band_keys_expr(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of 'bandIdx|h1h2...' strings; docs sharing any band
+    key are candidate near-duplicates."""
+    bands = []
+    for b in range(num_bands):
+        parts = [F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        bands.append(F.concat_ws("", F.lit(f"{b}|"), *parts))
+    return F.array(*bands)
+
+
+# ------------------------------------------------------------------ SimHash
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over tokens (weights=1). blake2b-derived per-token bits
+    so it is deterministic across workers/runs."""
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        digest = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
+        acc += 2 * bits - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return int(np.int64(np.uint64(out)))
+
+
+def simhash_pandas(texts: pd.Series) -> pd.Series:
+    return pd.Series([simhash64((t or "").split()) for t in texts], dtype="int64")
+
+
+def make_simhash_udf():
+    """Arrow-vectorized simhash UDF. Built here (not at call sites) because
+    pandas-UDF type-hint resolution needs `pd` in the defining module's
+    globals under `from __future__ import annotations`."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        return simhash_pandas(texts)
+
+    return simhash_udf
+
+
+def hamming64_expr(a: Column, b: Column) -> Column:
+    return F.bit_count(F.bitwiseNOT(a.bitwiseXOR(b)).bitwiseXOR(F.lit(-1).cast("long")))
+
+
+# ------------------------------------------------------- document fingerprint
+FP_MOD = 1_000_003
+
+
+def fingerprint_expr(tokens: Column) -> Column:
+    """Order-sensitive polynomial fingerprint, pure built-ins:
+    sum over i of (i+1) * (ascii(first char) * 31 + token length) mod FP_MOD.
+    SQL-twin reproducible in DuckDB (fingerprint_sql)."""
+    idx = F.sequence(F.lit(1), F.size(tokens))
+    terms = F.zip_with(
+        idx,
+        tokens,
+        lambda i, w: (i * (F.ascii(F.substring(w, 1, 1)) * 31 + F.length(w))) % FP_MOD,
+    )
+    return F.coalesce(F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % FP_MOD), F.lit(0).cast("long"))
+
+
+def fingerprint_sql(tokens_expr: str) -> str:
+    return (
+        f"coalesce(list_sum(list_transform(range(1, len({tokens_expr}) + 1), "
+        f"i -> (i * (ascii(substr(list_extract({tokens_expr}, i), 1, 1)) * 31 "
+        f"+ length(list_extract({tokens_expr}, i)))) % {FP_MOD})) % {FP_MOD}, 0)"
+    )

@@ -1,0 +1,73 @@
+"""Perplexity head/middle/tail bucketing (reference P6,
+/root/reference/pipe_line.py:302-336).
+
+The reference folds a driver-side {lang: (head, tail)} dict into a literal
+145-branch WHEN chain. We instead **broadcast-join a tiny cutoff table**
+(north_rule mandate) — cleaner plan, cutoffs updatable without re-compiling
+the query, and identical semantics: pp < head -> head, pp < tail -> middle,
+else tail; null/negative pp or unknown lang -> "all" (reference default arm
+at pipe_line.py:322-323).
+"""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import CUTOFFS_SCHEMA
+
+# Stub-language cutoffs calibrated on the synthetic corpus (fixtures/cutoffs.csv
+# mirrors the reference's cutoff.csv percentile semantics: head = 30th
+# percentile of the per-lang pp distribution, tail = 60th —
+# /root/reference/pipe_line.py:86-87,123-130).
+import os as _os
+
+DEFAULT_CUTOFFS_CSV = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))), "fixtures", "cutoffs.csv")
+
+
+def load_cutoffs_dict(csv_path: str | None = None) -> dict[str, tuple[float, float]]:
+    out: dict[str, tuple[float, float]] = {}
+    with open(csv_path or DEFAULT_CUTOFFS_CSV, newline="") as f:
+        for rec in csv.DictReader(f):
+            out[rec["lang"]] = (float(rec["pp_head"]), float(rec["pp_tail"]))
+    return out
+
+
+def load_cutoffs(spark: SparkSession, csv_path: str | None = None, cutoffs: dict[str, tuple[float, float]] | None = None) -> DataFrame:
+    if cutoffs is None:
+        rows = []
+        with open(csv_path or DEFAULT_CUTOFFS_CSV, newline="") as f:
+            for rec in csv.DictReader(f):
+                rows.append((rec["lang"], float(rec["pp_head"]), float(rec["pp_tail"])))
+    else:
+        rows = [(lang, float(h), float(t)) for lang, (h, t) in sorted(cutoffs.items())]
+    return spark.createDataFrame(rows, schema=CUTOFFS_SCHEMA)
+
+
+def with_bucket(df: DataFrame, cutoffs_df: DataFrame, pp_col: str = "perplexity") -> DataFrame:
+    pp = F.col(pp_col)
+    joined = df.join(F.broadcast(cutoffs_df), on="lang", how="left")
+    bucket = (
+        F.when(pp.isNull() | (pp < 0) | F.col("pp_head").isNull(), F.lit("all"))
+        .when(pp < F.col("pp_head"), F.lit("head"))
+        .when(pp < F.col("pp_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn("bucket", bucket).drop("pp_head", "pp_tail")
+
+
+def bucket_case_sql(pp_expr: str, lang_expr: str, cutoffs: dict[str, tuple[float, float]]) -> str:
+    """DuckDB oracle twin as an explicit CASE chain (the reference's own
+    formulation), for the oracle_sql entries."""
+    arms = []
+    for lang, (head, tail) in sorted(cutoffs.items()):
+        arms.append(f"when {lang_expr} = '{lang}' and {pp_expr} < {head} then 'head'")
+        arms.append(f"when {lang_expr} = '{lang}' and {pp_expr} < {tail} then 'middle'")
+        arms.append(f"when {lang_expr} = '{lang}' then 'tail'")
+    return (
+        "case when " + pp_expr + " is null or " + pp_expr + " < 0 then 'all' "
+        + " ".join(arms)
+        + " else 'all' end"
+    )

@@ -1,0 +1,198 @@
+"""Deduplication operators.
+
+Line-level (the reference's core dedup, /root/reference/pipe_line.py:218-249):
+- dedup_keep: keep ONE copy of each repeated (normalized) line. The reference
+  uses dropDuplicates -> arbitrary survivor (its own dev.md:42-90 shows
+  nondeterministic counts); we deterministically keep the minimum
+  (id, line_id) per hash via min_by aggregation — documented strengthening
+  (SURVEY.md §7 risk 1) so the oracle F1 gate is exact.
+- dedup_nokeep: lines whose hash occurs >1x are removed entirely
+  (groupBy count>1 + left_anti join, reference H6).
+- regroup: re-assemble surviving lines into documents (reference H7).
+
+Document-level (training-data additions, scale path for 100 TB):
+- exact_dedup: hash-groupBy on normalized full text.
+- minhash_lsh_dedup: shingle -> MinHash signature -> LSH band bucketing ->
+  candidate pairs -> Jaccard verify -> connected drop (keep min id per
+  bucket). All built-in expressions; the only shuffles are the band-key
+  explode-groupBy and the final semi-join.
+- simhash_dedup: 64-bit SimHash (vectorized pandas UDF) + exact-band
+  grouping on rotated chunks.
+- embedding near-dup: see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from ..functions.normalize import normalize_for_dedup_expr
+
+
+# --------------------------------------------------------------- line level
+def dedup_keep(lines: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Keep exactly one copy of each repeated line: the (id, line_id)-minimal
+    one. A single min_by hash-aggregation — ONE shuffle by hash_value, no
+    window sort, no join, map-side partial aggregation applies (vs the
+    reference's dropDuplicates, same shuffle but arbitrary survivor)."""
+    row = F.struct(F.col(id_col), F.col("line_id"), F.col("line"))
+    key = F.struct(F.col(id_col), F.col("line_id"))
+    return (
+        lines.groupBy("hash_value")
+        .agg(F.min_by(row, key).alias("keeper"))
+        .select(
+            F.col(f"keeper.{id_col}").alias(id_col),
+            F.col("keeper.line_id").alias("line_id"),
+            F.col("keeper.line").alias("line"),
+        )
+    )
+
+
+def dedup_nokeep(lines: DataFrame) -> DataFrame:
+    """Remove ALL copies of any line whose hash occurs more than once
+    (reference H6: groupBy(hash).count().where(count>1) + left_anti)."""
+    dups = lines.groupBy("hash_value").agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") > 1)
+    return lines.join(dups, on="hash_value", how="left_anti")
+
+
+def regroup(lines: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Surviving lines -> one row per doc (reference H7,
+    /root/reference/pipe_line.py:228-249): sort_array(collect_list(struct))
+    restores original line order; dedup_caption + kept line ids + counts.
+
+    Narrow by design: only (id, line_id, line) aggregate here — wide
+    columns re-join by id afterwards (see lines.py module doc)."""
+    pairs = F.sort_array(F.collect_list(F.struct(F.col("line_id"), F.col("line"))))
+    return (
+        lines.groupBy(id_col)
+        .agg(pairs.alias("kept"))
+        .select(
+            id_col,
+            F.concat_ws("\n", F.col("kept.line")).alias("dedup_caption"),
+            F.col("kept.line_id").alias("line_ids_kept"),
+            F.size("kept").cast("int").alias("nlines"),
+        )
+        .withColumn("length", F.length("dedup_caption").cast("int"))
+    )
+
+
+def line_dedup(df: DataFrame, id_col: str = "image_id", text_col: str = "caption", variant: str = "keep", hash_algo: str = "sha2") -> DataFrame:
+    """Full line-level dedup: explode -> normalize+hash -> dedup -> regroup.
+    Returns (id, dedup_caption, line_ids_kept, nlines, length); docs whose
+    every line was removed simply vanish (same as the reference — a doc
+    survives iff >=1 line survives)."""
+    from .lines import explode_lines, with_line_hash
+
+    lines = with_line_hash(explode_lines(df, id_col, text_col), algo=hash_algo)
+    lines = lines.select(id_col, "line_id", "line", "hash_value")
+    survivors = dedup_keep(lines, id_col) if variant == "keep" else dedup_nokeep(lines)
+    return regroup(survivors, id_col)
+
+
+# ----------------------------------------------------------- document level
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-free dedup: keep the min-id doc per normalized-text hash.
+    One shuffle (groupBy hash), survivors via left_semi join."""
+    hashed = df.withColumn("_h", hashing.line_hash_expr(normalize_for_dedup_expr(F.col(text_col))))
+    keepers = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keepers, on=[id_col], how="left_semi").drop("_h")
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Explode shingles -> per-seed hash columns -> groupBy(id).min.
+
+    Deliberately NOT a nested array expression (transform-inside-transform):
+    Catalyst inlines the shingle-construction subtree into every per-seed
+    transform, exploding codegen size and recomputing the tokenizer per
+    element. The explode+agg form materializes each shingle once, gets
+    map-side partial min aggregation, and shuffles only (id, 8x8-byte mins).
+    Docs with no shingles get a 'z' sentinel signature (shorter than
+    shingle_n words)."""
+    with_toks = df.select(
+        F.col(id_col), F.split(normalize_for_dedup_expr(F.col(text_col)), "\\s+").alias("_toks")
+    )
+    sh = hashing.word_shingles_expr(F.col("_toks"), n=shingle_n)
+    exploded = with_toks.select(F.col(id_col), F.explode_outer(sh).alias("_shingle"))
+    mins = [
+        F.min(
+            F.when(
+                F.col("_shingle").isNotNull(),
+                F.substring(F.sha2(F.concat(F.lit(f"{s}:"), F.col("_shingle")), 256), 1, 8),
+            )
+        ).alias(f"_mh{s}")
+        for s in range(num_hashes)
+    ]
+    agged = exploded.groupBy(id_col).agg(*mins)
+    sig = F.array(*[F.coalesce(F.col(f"_mh{s}"), F.lit("z")) for s in range(num_hashes)])
+    return agged.select(id_col, sig.alias("signature"))
+
+
+def minhash_lsh_candidates(sigs: DataFrame, id_col: str, num_bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing >=1 LSH band."""
+    banded = sigs.select(
+        id_col, F.explode(hashing.band_keys_expr(F.col("signature"), num_bands, rows_per_band)).alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, num_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Near-dup removal: any doc that shares an LSH band with a smaller-id
+    doc is dropped (union-find-free approximation: min-id wins per pair).
+    At 100 TB the band groupBy is the only wide shuffle; band keys are
+    short strings, signatures never leave the narrow plan."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = minhash_lsh_candidates(sigs, id_col, num_bands, num_hashes // num_bands)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=[id_col], how="left_anti")
+
+
+def simhash_dedup(df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16) -> DataFrame:
+    """SimHash near-dup: vectorized pandas-UDF simhash64, bucket by the top
+    prefix_bits, keep min-id per bucket. (Rows-only correctness check — the
+    bit math is not portably SQL-expressible.)"""
+    simhash_udf = hashing.make_simhash_udf()
+    shift = 64 - prefix_bits
+    hashed = df.withColumn("simhash", simhash_udf(F.col(text_col))).withColumn(
+        "_bucket", F.shiftrightunsigned(F.col("simhash"), shift)
+    )
+    keepers = hashed.groupBy("_bucket").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keepers, on=[id_col], how="left_semi").drop("_bucket")
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs found via shared
+    shingles: explode shingles, self-join on shingle, count shared, compute
+    |A∩B| / (|A|+|B|-|A∩B|), filter >= threshold. Quadratic only within
+    shingle buckets — at scale, run AFTER minhash banding to verify."""
+    with_toks = df.select(
+        F.col(id_col), F.split(normalize_for_dedup_expr(F.col(text_col)), "\\s+").alias("_toks")
+    )
+    sh = with_toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(hashing.word_shingles_expr(F.col("_toks"), n=shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,59 @@
+"""Language identification (reference M1, /root/reference/pipe_lid.py:16-40)
+as an Arrow-vectorized pandas UDF returning struct<lang, score>, plus the
+skew-handling salted repartition (reference M5/R2 — the reference *wrote* a
+salted partitioner at pipe_lid.py:43-48 but never wired it; north_rule
+requires it)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..models import LID_THRESHOLD, predict_lang
+
+LID_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("score", T.FloatType(), True),
+    ]
+)
+
+
+def make_lid_udf(model_path: str | None = None, threshold: float = LID_THRESHOLD):
+    @F.pandas_udf(LID_RESULT_TYPE)
+    def lid_udf(texts: pd.Series) -> pd.DataFrame:
+        out = predict_lang(texts, model_path=model_path, threshold=threshold)
+        out["score"] = out["score"].astype("float32")
+        return out
+
+    return lid_udf
+
+
+def with_lang(df: DataFrame, text_col: str = "caption", model_path: str | None = None, threshold: float = LID_THRESHOLD) -> DataFrame:
+    lid = make_lid_udf(model_path, threshold)
+    return (
+        df.withColumn("_lid", lid(F.col(text_col)))
+        .withColumn("lang", F.col("_lid.lang"))
+        .withColumn("score", F.col("_lid.score"))
+        .drop("_lid")
+    )
+
+
+def lang_filter(df: DataFrame, selected_langs: list[str] | None) -> DataFrame:
+    """Reference P4 (/root/reference/pipe_line.py:286-288)."""
+    if not selected_langs:
+        return df
+    return df.filter(F.col("lang").isin(selected_langs))
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, key_col: str = "lang", salt_buckets: int = 32) -> DataFrame:
+    """Skew fix for language-imbalanced data (en dominates): repartition by
+    (key, random salt) so one hot language spreads over salt_buckets
+    partitions instead of one. Replaces the reference's blunt
+    repartition(n) at /root/reference/pipe_line.py:289-290. The salt is only
+    a partitioning column; it is dropped immediately (downstream per-row
+    model UDFs don't care about co-location, so salting is semantics-free)."""
+    salted = df.withColumn("_salt", (F.rand(seed=13) * salt_buckets).cast("int"))
+    return salted.repartition(num_partitions, F.col(key_col), F.col("_salt")).drop("_salt")

