@@ -107,7 +107,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sf0.001 documents table."""
     sf_dir = "/root/testdata/sf0.001"
     docs = _docs(spark, sf_dir)
-    survivors = dedup.dedup_keep(_hashed_lines(docs), id_col="doc_id")
+    survivors = dedup.dedup_keep(_shingle_lines(docs), id_col="doc_id")
     regrouped = dedup.regroup(survivors, id_col="doc_id")
     regrouped = regrouped.withColumn(
         "dedup_caption", F.regexp_replace("dedup_caption", "\n", " ")
@@ -164,9 +164,11 @@ def _shingle_lines(docs: DataFrame) -> DataFrame:
     """Trigram-shingle 'lines' (documents' word vocabulary is tiny, so
     single words all repeat globally; 3-word shingles keep dedup_nokeep
     non-degenerate). Same operator, coarser line definition."""
-    toks = F.split(F.col("text"), " ")
-    sh = hashing.word_shingles_expr(toks, n=3)
-    return docs.select("doc_id", F.posexplode(sh).alias("line_id", "line")).withColumn(
+    # two-step select: materialize the token array so Catalyst doesn't inline
+    # split() into every element_at of the shingle constructor
+    with_toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    sh = hashing.word_shingles_expr(F.col("_toks"), n=3)
+    return with_toks.select("doc_id", F.posexplode(sh).alias("line_id", "line")).withColumn(
         "hash_value", hashing.line_hash_expr(normalize_for_dedup_expr(F.col("line")))
     )
 

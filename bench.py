@@ -1,0 +1,122 @@
+"""Benchmark harness.
+
+Headline: end-to-end keep/drop+scrub pipeline throughput (images/sec) over
+the synthetic image+caption pairs table — generation is NOT timed and is
+cached on disk per scale factor, so runs at different parallelism levels
+(SPARK_GRAFT_CPUS) measure the identical input (the BASELINE.json N-vs-4N
+scaling-efficiency criterion, evidenced locally as local[8] vs local[32]).
+
+Also times each SQL-oracle query from __spark_entry__ at SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <pipeline sec>, "unit": "sec",
+   "images_per_sec": ..., "n_images": ..., "cpus": ...,
+   "queries": {name: sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROWS_PER_SF = 600_000  # sf0.1 -> 60k pairs (~ one WET segment, profile.md:18)
+
+# pipeline-representative subset of the oracle-checked queries
+BENCH_QUERIES = [
+    "explode_lines",
+    "line_hash",
+    "dedup_keep",
+    "dedup_nokeep",
+    "regroup",
+    "pp_bucket",
+    "rollup",
+    "scrub",
+    "quality",
+    "token_counts",
+    "minhash_pairs",
+    "jaccard_pairs",
+    "ann_topk",
+    "events_window",
+]
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def materialize(df) -> int:
+    """Force full computation of every column (count() alone would let
+    Catalyst prune the expensive ones)."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"_c_{i}") for i, c in enumerate(df.columns)],
+    ).collect()[0]
+    return row["n"]
+
+
+def main() -> None:
+    from ccnet_spark_spark.operators.bucket import load_cutoffs_dict
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.session import get_spark
+    from ccnet_spark_spark.sources.tables import write_result
+    from ccnet_spark_spark.synth import write_pairs
+
+    sf = sf_of(SF_DIR)
+    n_images = max(10_000, int(sf * ROWS_PER_SF))
+    spark = get_spark(app_name="ccnet_spark_bench", cores=CPUS)
+
+    pairs_path = f"/tmp/ccnet_bench_pairs_sf{sf}_n{n_images}"
+    if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
+        write_pairs(spark, pairs_path, n_images)
+
+    # -------- headline: full pipeline, read -> transform -> partitioned sink
+    out_path = f"/tmp/ccnet_bench_out_c{CPUS}"
+    cfg = Config(cutoffs=load_cutoffs_dict())
+    pipe = Pipeline(spark, cfg)
+    t0 = time.time()
+    pairs = spark.read.parquet(pairs_path)
+    result = pipe.run(pairs)
+    from pyspark.sql import functions as F
+
+    write_result(result.withColumn("lang", F.coalesce("lang", F.lit("__null__"))), out_path)
+    pipeline_sec = time.time() - t0
+
+    # -------- per-query timings at SF_DIR
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pairs_pipeline_end_to_end",
+                "value": round(pipeline_sec, 3),
+                "unit": "sec",
+                "images_per_sec": round(n_images / pipeline_sec, 1),
+                "n_images": n_images,
+                "cpus": CPUS,
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,10 @@ def load_cutoffs(spark: SparkSession, csv_path: str | None = None, cutoffs: dict
 
 
 def with_bucket(df: DataFrame, cutoffs_df: DataFrame, pp_col: str = "perplexity") -> DataFrame:
-    pp = F.col(pp_col)
+    # pp is float32 storage (reference FloatType) but already rounded to 1dp;
+    # compare on the double-rounded value so a cutoff equal to a data value
+    # (e.g. 311.9) doesn't flip buckets via float32 representation error.
+    pp = F.round(F.col(pp_col).cast("double"), 1)
     joined = df.join(F.broadcast(cutoffs_df), on="lang", how="left")
     bucket = (
         F.when(pp.isNull() | (pp < 0) | F.col("pp_head").isNull(), F.lit("all"))

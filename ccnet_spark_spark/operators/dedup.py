@@ -160,9 +160,9 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 
     bit math is not portably SQL-expressible.)"""
     simhash_udf = hashing.make_simhash_udf()
     shift = 64 - prefix_bits
-    hashed = df.withColumn("simhash", simhash_udf(F.col(text_col))).withColumn(
-        "_bucket", F.shiftrightunsigned(F.col("simhash"), shift)
-    )
+    hashed = df.withColumn(
+        "simhash", simhash_udf(normalize_for_dedup_expr(F.col(text_col)))
+    ).withColumn("_bucket", F.shiftrightunsigned(F.col("simhash"), shift))
     keepers = hashed.groupBy("_bucket").agg(F.min(id_col).alias(id_col))
     return hashed.join(keepers, on=[id_col], how="left_semi").drop("_bucket")
 

@@ -61,3 +61,60 @@ def make_perplexity_udf(lm_dir: str | None = None):
 def with_perplexity(df: DataFrame, tokenized_col: str = "tokenized", lm_dir: str | None = None) -> DataFrame:
     pp = make_perplexity_udf(lm_dir)
     return df.withColumn("perplexity", pp(F.col(tokenized_col), F.col("lang")))
+
+
+TOK_PP_TYPE = T.StructType(
+    [
+        T.StructField("tokenized", T.StringType(), True),
+        T.StructField("perplexity", T.FloatType(), True),
+    ]
+)
+
+
+def make_tok_pp_udf(lm_dir: str | None = None):
+    """Fused tokenize+perplexity: ONE Arrow crossing instead of two.
+
+    The reference runs SP and LM as separate UDF stages
+    (/root/reference/pipe_line.py:291-300) — every row pays the JVM->Python
+    boundary twice. Since the tokenized string is an intermediate (the
+    reference itself drops it in its DROP step, pipe_line.py:342-343),
+    fusing halves the Python-boundary traffic at 10^12 scale."""
+    from .tokenize import _real_sp
+
+    @F.pandas_udf(TOK_PP_TYPE)
+    def tok_pp_udf(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        toks: list[str | None] = []
+        pps: list[float | None] = []
+        use_real = lm_dir and os.path.isdir(lm_dir)
+        for text, lang in zip(texts, langs):
+            if lang is None or (lang not in models.VOCAB and not use_real):
+                toks.append(None)
+                pps.append(None)
+                continue
+            sp = _real_sp(lang, lm_dir) if use_real else None
+            tok = " ".join(sp.encode_as_pieces(text)) if sp else models.stub_tokenize_one(text)
+            toks.append(tok)
+            model = _real_kenlm(lang, lm_dir) if use_real else None
+            if model is None:
+                pps.append(models.stub_perplexity_one(tok) if lang in models.VOCAB else None)
+            else:
+                score, length = 0.0, 0
+                for line in tok.split("\n"):
+                    score += model.score(line)
+                    length += len(line.split()) + 1
+                pps.append(round(10.0 ** (-score / length), 1) if length else 0.0)
+        return pd.DataFrame(
+            {"tokenized": pd.Series(toks, dtype="object"), "perplexity": pd.Series(pps, dtype="float64").astype("float32")}
+        )
+
+    return tok_pp_udf
+
+
+def with_tokenized_and_perplexity(df: DataFrame, text_col: str = "dedup_caption", lm_dir: str | None = None) -> DataFrame:
+    fused = make_tok_pp_udf(lm_dir)
+    return (
+        df.withColumn("_tp", fused(F.col(text_col), F.col("lang")))
+        .withColumn("tokenized", F.col("_tp.tokenized"))
+        .withColumn("perplexity", F.col("_tp.perplexity"))
+        .drop("_tp")
+    )

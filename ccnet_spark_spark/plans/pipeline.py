@@ -45,6 +45,7 @@ class Config:
     cutoffs_csv: str | None = None
     salt_partitions: int | None = None  # None -> spark default parallelism
     sample_rate: float | None = None  # reference isSample/sampleRate knob
+    fuse_lm: bool = True  # tokenize+perplexity in one Arrow crossing
     drop_tokenized: bool = True  # reference DROP step (pipe_line.py:342-343)
     steps: list[str] = field(default_factory=lambda: list(ALL_STEPS))
 
@@ -64,7 +65,8 @@ class Pipeline:
         base = (
             df.withColumn("original_length", F.length("caption").cast("int"))
             .withColumn("original_nlines", F.size(F.split(F.col("caption"), "\n")).cast("int"))
-            .withColumn("too_short", F.col("original_length") < cfg.min_len)
+            # coalesce: a NULL caption is "too short", not a dedup casualty
+            .withColumn("too_short", F.coalesce(F.col("original_length") < cfg.min_len, F.lit(True)))
         )
 
         # --- narrow text plan: only (image_id, caption) for non-short docs ---
@@ -76,10 +78,14 @@ class Pipeline:
             enriched = lid.with_lang(enriched, "dedup_caption", cfg.lid_model_path, cfg.lid_threshold)
             n_parts = cfg.salt_partitions or self.spark.sparkContext.defaultParallelism
             enriched = lid.salted_repartition(enriched, n_parts, "lang")
-        if "sp" in cfg.steps:
-            enriched = tokenize.with_tokenized(enriched, "dedup_caption", cfg.lm_dir)
-        if "lm" in cfg.steps:
-            enriched = perplexity.with_perplexity(enriched, "tokenized", cfg.lm_dir)
+        if "sp" in cfg.steps and "lm" in cfg.steps and cfg.fuse_lm:
+            # one Arrow crossing for tokenize+perplexity (see perplexity.py)
+            enriched = perplexity.with_tokenized_and_perplexity(enriched, "dedup_caption", cfg.lm_dir)
+        else:
+            if "sp" in cfg.steps:
+                enriched = tokenize.with_tokenized(enriched, "dedup_caption", cfg.lm_dir)
+            if "lm" in cfg.steps:
+                enriched = perplexity.with_perplexity(enriched, "tokenized", cfg.lm_dir)
         if cfg.drop_tokenized and "sp" in cfg.steps:
             enriched = enriched.drop("tokenized")
 

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes", slide: str | None = None, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling/sliding window counts over the events table
     (works identically on a static DF and a readStream DF)."""
+    # watermarks require TIMESTAMP (with zone); parquet often lands NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     win = F.window(F.col("ts"), window, slide) if slide else F.window(F.col("ts"), window)
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return src.groupBy(win, "event_type").agg(
