@@ -333,6 +333,39 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_set_ops(spark, sf_dir):
+    # union / except / intersect composition over doc subsets
+    docs = _docs(spark, sf_dir)
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    fr = docs.where(F.col("lang") == "fr").select("doc_id")
+    long_docs = docs.where(F.col("n_chars") > 300).select("doc_id")
+    short_en = en.exceptAll(long_docs)
+    return short_en.union(fr.intersect(long_docs)).distinct()
+
+
+def q_sessionize(spark, sf_dir):
+    # sessionization: lag(ts) + cumulative sum over gap > 30 min
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w) > 1800, 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", gap)
+        .withColumn("session_id", F.sum("new_sess").over(w))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+def q_cube_rollup(spark, sf_dir):
+    # grouping-sets breadth: cube over (lang, source)
+    return (
+        _docs(spark, sf_dir)
+        .cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
 # ------------------------------------------------ rows-only (no SQL oracle)
 def q_pairs_pipeline(spark, sf_dir):
     """Full image+caption pipeline on 400 deterministic synthetic pairs:
@@ -396,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "cosine_neardup": q_cosine_neardup,
         "events_window": q_events_window,
+        "set_ops": q_set_ops,
+        "sessionize": q_sessionize,
+        "cube_rollup": q_cube_rollup,
         "pairs_pipeline": q_pairs_pipeline,
         "image_stats": q_image_stats,
         "simhash": q_simhash,
@@ -525,5 +561,24 @@ def oracle_sql() -> dict[str, str]:
         "events_window": (
             "select time_bucket(interval '5 minutes', ts) as window_start, event_type, "
             "count(*) as n, round(sum(value), 2) as total_value from events group by 1, 2"
+        ),
+        "set_ops": (
+            "with en as (select doc_id from documents where lang = 'en'), "
+            "fr as (select doc_id from documents where lang = 'fr'), "
+            "lng as (select doc_id from documents where n_chars > 300) "
+            "select distinct doc_id from ("
+            "select doc_id from (select doc_id from en except all select doc_id from lng) "
+            "union all select doc_id from (select doc_id from fr intersect select doc_id from lng))"
+        ),
+        "sessionize": (
+            "select user_id, event_id, sum(new_sess) over "
+            "(partition by user_id order by ts, event_id) as session_id from ("
+            "select user_id, event_id, ts, case when epoch(ts) - "
+            "lag(epoch(ts)) over (partition by user_id order by ts, event_id) > 1800 "
+            "then 1 else 0 end as new_sess from events)"
+        ),
+        "cube_rollup": (
+            "select lang, source, count(*) as n_docs, sum(n_chars) as sum_chars "
+            "from documents group by cube (lang, source)"
         ),
     }

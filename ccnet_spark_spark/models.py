@@ -103,14 +103,32 @@ def stub_predict_lang(texts: pd.Series, threshold: float = LID_THRESHOLD) -> pd.
 
 
 # ----------------------------------------------------------- stub tokenizer
+def strip_accents(text: str) -> str:
+    """NFD-decompose and drop combining marks (reference N4,
+    /root/reference/text_normalizer.py:59-65). Char count is preserved for
+    composed input (é -> e), which keeps the SQL perplexity oracle's
+    closed-form-over-word-lengths valid."""
+    import unicodedata
+
+    return "".join(c for c in unicodedata.normalize("NFD", text) if unicodedata.category(c) != "Mn")
+
+
+# non-printing minus \t\n: newlines delimit the per-line perplexity loop
+# (pipe_perplexity.py:29-33) and must survive tokenization
+_NON_PRINT_RE = re.compile(r"[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+
+
 def stub_tokenize_one(text: str) -> str:
-    """SentencePiece stand-in: lowercase, digits->0, then each word becomes
+    """SentencePiece stand-in: tokenizer-normalize (lowercase, NFD
+    accent-strip, digits->0, drop non-printing — reference N2,
+    /root/reference/text_normalizer.py:158-173), then each word becomes
     a '▁'-prefixed head piece plus 3-char continuation pieces.
 
     Same output contract as /root/reference/pipe_tokenized.py:24-33
     (space-joined piece string).
     """
-    text = re.sub(r"\d", "0", (text or "").lower())
+    text = strip_accents((text or "").lower())
+    text = _NON_PRINT_RE.sub("", re.sub(r"\d", "0", text))
     pieces: list[str] = []
     for word in text.split():
         pieces.append("▁" + word[:3])
