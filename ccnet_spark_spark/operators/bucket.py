@@ -35,6 +35,21 @@ def load_cutoffs_dict(csv_path: str | None = None) -> dict[str, tuple[float, flo
     return out
 
 
+def cutoffs_from_percentile_matrix(csv_path: str, percentile_head: int = 30, percentile_tail: int = 60) -> dict[str, tuple[float, float]]:
+    """Load a cc_net-style cutoff matrix: 101 rows (perplexity percentiles
+    0..100) x one column per language, header = language codes. head/tail =
+    the chosen percentile rows (reference /root/reference/pipe_line.py:86-87,
+    123-130, defaults 30/60). Returns {lang: (pp_head, pp_tail)} ready for
+    load_cutoffs(cutoffs=...)."""
+    import pandas as pd
+
+    m = pd.read_csv(csv_path, index_col=0)
+    out: dict[str, tuple[float, float]] = {}
+    for lang in m.columns:
+        out[str(lang)] = (float(m[lang].iloc[percentile_head]), float(m[lang].iloc[percentile_tail]))
+    return out
+
+
 def load_cutoffs(spark: SparkSession, csv_path: str | None = None, cutoffs: dict[str, tuple[float, float]] | None = None) -> DataFrame:
     if cutoffs is None:
         rows = []

@@ -1,0 +1,78 @@
+"""Production entry point: spark-submit job for the quality-filter pipeline.
+
+Ships as:
+    zip -r engine.zip ccnet_spark_spark
+    spark-submit --py-files engine.zip jobs/run_pipeline.py \
+        --input  <pairs table path/name> \
+        --output <result table path/name> \
+        --cutoffs fixtures/cutoffs.csv [--langs en,fr] [--dedup keep|nokeep] \
+        [--partitions p0,p1,...]   # resumable per-partition mode
+
+On a cluster the master/executor conf comes from spark-submit; the script
+only builds the session with the engine's analysis confs (AQE, skew-join,
+Arrow). With --partitions it runs the checkpoint/lineage sidecar protocol
+(exactly-once per partition across restarts); otherwise one monolithic run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--cutoffs", default=None)
+    ap.add_argument("--langs", default=None, help="comma-separated selected langs")
+    ap.add_argument("--dedup", default="keep", choices=["keep", "nokeep"])
+    ap.add_argument("--min-len", type=int, default=300)
+    ap.add_argument("--hash", dest="hash_algo", default="sha2", choices=["sha2", "xxhash64"])
+    ap.add_argument("--lid-model", default=None)
+    ap.add_argument("--lm-dir", default=None)
+    ap.add_argument("--partitions", default=None, help="resumable mode: comma-separated partition ids (subdirs of --input)")
+    ap.add_argument("--write-payload", action="store_true", help="rewrite image bytes into the output (default: verdict/label table only)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from ccnet_spark_spark.operators.bucket import load_cutoffs_dict
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.session import get_spark
+    from ccnet_spark_spark.sources import tables
+
+    spark = get_spark(app_name="ccnet_spark_pipeline")
+    cfg = Config(
+        min_len=args.min_len,
+        dedup_variant=args.dedup,
+        hash_algo=args.hash_algo,
+        lid_model_path=args.lid_model,
+        lm_dir=args.lm_dir,
+        selected_langs=args.langs.split(",") if args.langs else None,
+        cutoffs=load_cutoffs_dict(args.cutoffs) if args.cutoffs else None,
+        cutoffs_csv=args.cutoffs,
+    )
+    pipe = Pipeline(spark, cfg)
+
+    def finalize(df):
+        out = df if args.write_payload else df.drop("bytes")
+        return out.withColumn("lang", F.coalesce("lang", F.lit("__null__")))
+
+    if args.partitions:
+        parts = {
+            pid: spark.read.parquet(f"{args.input}/{pid}") for pid in args.partitions.split(",")
+        }
+        done = tables.run_resumable(spark, parts, args.output, lambda df: finalize(pipe.run(df)))
+        print(f"processed partitions: {done}")
+    else:
+        result = finalize(pipe.run(spark.read.parquet(args.input)))
+        tables.write_result(result, args.output)
+        kept = spark.read.parquet(args.output).where(F.col("keep")).count()
+        print(f"wrote {args.output}; kept={kept}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
