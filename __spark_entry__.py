@@ -404,6 +404,40 @@ def q_lsh_ann(spark, sf_dir):
     return similarity.lsh_topk(emb, queries_df, k=5, n_planes=6)
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF approximate nearest neighbors: driver-trained centroids (sampled
+    k-means), cluster equi-join + exact re-rank (approximate -> rows-only)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=3)
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming exact-dedup (applyInPandasWithState), driven to
+    completion with availableNow over a temp copy of documents."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("image_id"), F.col("text").alias("caption"))
+    src = tempfile.mkdtemp(prefix="qsd_src")
+    sink = tempfile.mkdtemp(prefix="qsd_sink")
+    ckpt = tempfile.mkdtemp(prefix="qsd_ckpt")
+    docs.write.mode("overwrite").parquet(src)
+    from ccnet_spark_spark.streaming.dedup import streaming_exact_dedup
+
+    stream = spark.readStream.schema("image_id string, caption string").parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "min_len_filter": q_min_len_filter,
@@ -436,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 

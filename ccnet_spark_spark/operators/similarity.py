@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,6 +86,78 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id", vec_
     )
     scored = (
         cb.join(F.broadcast(qb), on="lsh_bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>"))
+                / (_norm(F.col("_qv").cast("array<double>")) * _norm(F.col("_cv").cast("array<double>"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding", k: int = 16, sample_rows: int = 2048, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Driver-side mini k-means over a bounded sample (the IVF 'train' step;
+    at 100 TB you train on a sample anyway — the sample size, not the corpus,
+    bounds driver memory)."""
+    sample = df.select(vec_col).limit(sample_rows).toPandas()[vec_col]
+    x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Vectorized assignment: one numpy matmul per Arrow batch; returns the
+    nprobe nearest centroid ids (queries probe several, corpus stores 1)."""
+    from pyspark.sql import types as T
+
+    cent = centroids  # captured; small (k x dim), ships in the closure
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cent.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return assign_udf
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10, n_centroids: int = 16, nprobe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    cluster; a query probes its nprobe nearest clusters and re-ranks
+    exactly within them. The cluster equi-join replaces the cross join —
+    at scale, cluster id becomes the table's partition key so probes are
+    partition-pruned scans."""
+    centroids = train_ivf_centroids(corpus, vec_col, k=n_centroids, seed=seed)
+    c_assign = make_ivf_assign_udf(centroids, nprobe=1)
+    q_assign = make_ivf_assign_udf(centroids, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("cluster", c_assign(F.col("_cv"))[0])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")).withColumn(
+        "cluster", F.explode(q_assign(F.col("_qv")))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cluster")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",

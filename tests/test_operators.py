@@ -162,3 +162,19 @@ def test_decode_unknown_format_raises():
 
     with pytest.raises(NotImplementedError):
         codecs.decode(b"\xff\xd8\xff", "jpeg")
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 16)).astype(np.float32)
+    base[5] = base[0] * 0.99  # planted near-identical neighbor of vec 0
+    df = spark.createDataFrame([(i, v.tolist()) for i, v in enumerate(base)], ["vec_id", "embedding"])
+    got = similarity.ivf_topk(df, df.where(F.col("vec_id") < 3), k=5, n_centroids=8, nprobe=3)
+    pdf = got.toPandas()
+    assert set(pdf["query_id"]) == {0, 1, 2}
+    assert (pdf.groupby("query_id").size() <= 5).all()
+    # the planted twin shares vec 0's cluster by construction
+    assert 5 in list(pdf[pdf.query_id == 0]["neighbor_id"])
+    # recall sanity vs brute force: IVF top-1 == exact top-1 for the twin
+    bf = similarity.brute_force_topk(df, df.where(F.col("vec_id") == 0), k=1).collect()
+    assert bf[0]["neighbor_id"] == 5
