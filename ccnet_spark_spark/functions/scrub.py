@@ -40,6 +40,13 @@ def scrub_sql(expr: str) -> str:
     return out
 
 
+# \b caveat: Java regex (Spark) treats \b as UNICODE word boundary even in
+# default mode (ü is a word char), and Python's default matches that; RE2
+# (DuckDB) uses ASCII \b. The engine + pandas oracle therefore agree on all
+# input; the DuckDB SQL twin is exact on ASCII text (which covers the
+# driver's tables) and diverges only when PII abuts a non-ASCII letter with
+# no separator ("4ü") — RE2 has no lookaround, so this cannot be papered
+# over portably. Found by tests/test_step_prefixes.py fuzz.
 _COMPILED = [(re.compile(p), r) for _n, p, r in SCRUB_RULES]
 
 
