@@ -366,6 +366,28 @@ def q_cube_rollup(spark, sf_dir):
     )
 
 
+def q_event_stats(spark, sf_dir):
+    # numeric aggregate breadth: avg/stddev/min/max per event type
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    # exact percentiles (linear interpolation) per language
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("p75"),
+    )
+
+
 # ------------------------------------------------ rows-only (no SQL oracle)
 def q_pairs_pipeline(spark, sf_dir):
     """Full image+caption pipeline on 400 deterministic synthetic pairs:
@@ -466,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "sessionize": q_sessionize,
         "cube_rollup": q_cube_rollup,
+        "event_stats": q_event_stats,
+        "quantiles": q_quantiles,
         "pairs_pipeline": q_pairs_pipeline,
         "image_stats": q_image_stats,
         "simhash": q_simhash,
@@ -616,5 +640,15 @@ def oracle_sql() -> dict[str, str]:
         "cube_rollup": (
             "select lang, source, count(*) as n_docs, sum(n_chars) as sum_chars "
             "from documents group by cube (lang, source)"
+        ),
+        "event_stats": (
+            "select event_type, count(*) as n, round(avg(value), 4) as avg_value, "
+            "round(stddev_samp(value), 4) as sd_value, round(min(value), 2) as min_value, "
+            "round(max(value), 2) as max_value from events group by event_type"
+        ),
+        "quantiles": (
+            "select lang, round(quantile_cont(n_chars, 0.25), 4) as p25, "
+            "round(quantile_cont(n_chars, 0.5), 4) as p50, "
+            "round(quantile_cont(n_chars, 0.75), 4) as p75 from documents group by lang"
         ),
     }
