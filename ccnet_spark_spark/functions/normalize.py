@@ -37,12 +37,21 @@ _UNICODE_PUNCT = (
 PUNCT_OR_CTRL_PATTERN = "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~" + _UNICODE_PUNCT + "\\x00-\\x1f\\x7f-\\x9f]"
 
 
+# translate() is a single char-map pass (no regex engine) — measurably
+# cheaper on the exploded-lines hot path. Semantics identical to the regex
+# patterns above (same character sets); the DuckDB/python twins keep the
+# regex form and the fuzz test asserts byte-equality across all three.
+_PUNCT_CHARS = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~" + _UNICODE_PUNCT + "".join(
+    chr(c) for c in list(range(0x00, 0x20)) + list(range(0x7F, 0xA0))
+)
+
+
 def normalize_for_dedup_expr(col: Column | str) -> Column:
     """strip -> lower -> digits->0 -> delete punct+control (reference N1)."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(F.trim(c))
-    c = F.regexp_replace(c, DIGIT_PATTERN, "0")
-    return F.regexp_replace(c, PUNCT_OR_CTRL_PATTERN, "")
+    c = F.translate(c, "123456789", "000000000")
+    return F.translate(c, _PUNCT_CHARS, "")
 
 
 def normalize_for_dedup_sql(expr: str) -> str:
