@@ -35,6 +35,51 @@ def write_result(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("l
     (df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path))
 
 
+# ---------------------------------------------------------------- Iceberg
+def _iceberg_available() -> bool:
+    from ..session import iceberg_configured
+
+    return iceberg_configured()
+
+
+def write_result_iceberg(
+    df: DataFrame,
+    table: str = "local.db.pairs_result",
+    partition_cols: tuple[str, ...] = ("lang", "bucket"),
+    bucket_by: tuple[int, str] | None = (64, "image_id"),
+) -> None:
+    """Production writer: Iceberg createOrReplace, partitioned by
+    (lang, bucket) + bucket(N, image_id) so the verdict join-back is a
+    storage-partitioned (shuffle-free) join. Requires the
+    iceberg-spark-runtime jar + catalog conf (session.get_spark wires the
+    'local' hadoop catalog when the jar is present); raises RuntimeError
+    otherwise so callers fall back to write_result()."""
+    if not _iceberg_available():
+        raise RuntimeError(
+            "Iceberg runtime jar not on classpath; use write_result() (hive-partitioned parquet, same logical contract)"
+        )
+    from pyspark.sql import functions as F
+
+    parts = [F.col(c) for c in partition_cols]
+    if bucket_by:
+        parts.append(F.bucket(bucket_by[0], bucket_by[1]))
+    df.writeTo(table).using("iceberg").partitionedBy(*parts).createOrReplace()
+
+
+def read_iceberg(spark: SparkSession, table: str = "local.db.pairs_result") -> DataFrame:
+    if not _iceberg_available():
+        raise RuntimeError("Iceberg runtime jar not on classpath")
+    return spark.read.table(table)
+
+
+def iceberg_snapshots(spark: SparkSession, table: str = "local.db.pairs_result") -> DataFrame:
+    """Snapshot log — the resume/lineage anchor in the Iceberg deployment
+    (sidecar rows reference snapshot ids instead of directory names)."""
+    if not _iceberg_available():
+        raise RuntimeError("Iceberg runtime jar not on classpath")
+    return spark.read.table(f"{table}.snapshots")
+
+
 def read_all(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

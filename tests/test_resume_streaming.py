@@ -117,3 +117,20 @@ def test_streaming_pairs_scrub(spark, tmp_path):
     assert len(pdf) == 150
     assert "scrubbed_caption" in pdf.columns and "too_short" in pdf.columns
     assert "@example" not in "\n".join(pdf["scrubbed_caption"])
+
+
+def test_iceberg_path_gated(spark):
+    """Without the runtime jar the Iceberg writers refuse loudly (callers
+    fall back to parquet); with it they run — this sandbox has no jar."""
+    import pytest
+
+    from ccnet_spark_spark.session import iceberg_configured
+    from ccnet_spark_spark.sources import tables
+    from ccnet_spark_spark.synth import generate_pairs
+
+    if iceberg_configured():
+        pytest.skip("iceberg jar present; covered by the real path")
+    with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+        tables.write_result_iceberg(generate_pairs(spark, 5))
+    with pytest.raises(RuntimeError):
+        tables.read_iceberg(spark)
