@@ -31,6 +31,24 @@ from ..operators.length import DEFAULT_MIN_LEN
 # additions).
 ALL_STEPS = ["real_len", "dedup", "lid", "sp", "lm", "pp_bucket", "scrub", "verdict", "drop"]
 
+# columns the pipeline appends (RESULT_SCHEMA minus the input columns)
+ENGINE_COLUMNS = [
+    "original_length",
+    "original_nlines",
+    "length",
+    "nlines",
+    "dedup_caption",
+    "line_ids_kept",
+    "lang",
+    "score",
+    "tokenized",
+    "perplexity",
+    "bucket",
+    "scrubbed_caption",
+    "keep",
+    "drop_reason",
+]
+
 
 @dataclass
 class Config:
@@ -55,24 +73,33 @@ class Pipeline:
         self.spark = spark
         self.config = config or Config()
 
-    def run(self, pairs: DataFrame) -> DataFrame:
+    def run(self, pairs: DataFrame, id_col: str = "image_id", text_col: str = "caption") -> DataFrame:
+        """Run over any (id, text[, payload...]) table: image+caption pairs
+        by default; plain document tables (the reference's native domain)
+        via id_col/text_col — all other columns ride along untouched."""
         cfg = self.config
         df = pairs
+        # engine-produced columns shadow same-named input columns: rename
+        # collisions to src_* so e.g. a document table's own `lang` survives
+        # beside the LID result
+        for col in ENGINE_COLUMNS:
+            if col in df.columns:
+                df = df.withColumnRenamed(col, f"src_{col}")
         if cfg.sample_rate:
             df = df.sample(fraction=cfg.sample_rate, seed=42)
 
         # real_len + original_* (reference P1 + regroup renames H7)
         base = (
-            df.withColumn("original_length", F.length("caption").cast("int"))
-            .withColumn("original_nlines", F.size(F.split(F.col("caption"), "\n")).cast("int"))
+            df.withColumn("original_length", F.length(text_col).cast("int"))
+            .withColumn("original_nlines", F.size(F.split(F.col(text_col), "\n")).cast("int"))
             # coalesce: a NULL caption is "too short", not a dedup casualty
             .withColumn("too_short", F.coalesce(F.col("original_length") < cfg.min_len, F.lit(True)))
         )
 
-        # --- narrow text plan: only (image_id, caption) for non-short docs ---
-        docs = base.filter(~F.col("too_short")).select("image_id", "caption")
+        # --- narrow text plan: only (id, text) for non-short docs ---
+        docs = base.filter(~F.col("too_short")).select(id_col, text_col)
         enriched = dedup.line_dedup(
-            docs, id_col="image_id", text_col="caption", variant=cfg.dedup_variant, hash_algo=cfg.hash_algo
+            docs, id_col=id_col, text_col=text_col, variant=cfg.dedup_variant, hash_algo=cfg.hash_algo
         )
         if "lid" in cfg.steps:
             enriched = lid.with_lang(enriched, "dedup_caption", cfg.lid_model_path, cfg.lid_threshold)
@@ -90,13 +117,13 @@ class Pipeline:
             enriched = enriched.drop("tokenized")
 
         # --- join the narrow results back to the wide payload rows ---
-        out = base.join(enriched, on="image_id", how="left")
+        out = base.join(enriched, on=id_col, how="left")
 
         if "pp_bucket" in cfg.steps:
             cutoffs_df = bucket_op.load_cutoffs(self.spark, cfg.cutoffs_csv, cfg.cutoffs)
             out = bucket_op.with_bucket(out, cutoffs_df)
         if "scrub" in cfg.steps:
-            out = out.withColumn("scrubbed_caption", scrub_expr(F.coalesce(F.col("dedup_caption"), F.col("caption"))))
+            out = out.withColumn("scrubbed_caption", scrub_expr(F.coalesce(F.col("dedup_caption"), F.col(text_col))))
         if "verdict" in cfg.steps:
             out = verdict.with_verdict(out, cfg.selected_langs)
         return out.drop("too_short")
