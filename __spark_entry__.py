@@ -36,6 +36,40 @@ from ccnet_spark_spark.operators import dedup, perplexity, similarity, tokenize
 
 MIN_LEN_DOCS = 280  # documents are shorter than captions; same operator
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_SHIPPED: set[int] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship ccnet_spark_spark to executor Python workers. The driver's
+    sys.path tweak above does NOT reach workers — when the harness runs this
+    module from another cwd/Spark-home, UDF unpickling would fail with
+    ModuleNotFoundError. addPyFile distributes a zip of the package and puts
+    it on every worker's sys.path."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "ccnet_spark_spark_pkg.zip")
+    pkg = os.path.join(_REPO_DIR, "ccnet_spark_spark")
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _d, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest_src:
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO_DIR))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -105,6 +139,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the ccnet chain (explode -> normalize -> hash -> dedup_keep
     -> regroup -> tokenize -> perplexity -> bucket -> rollup) over the
     sf0.001 documents table."""
+    _ensure_pkg(spark)
     sf_dir = "/root/testdata/sf0.001"
     docs = _docs(spark, sf_dir)
     survivors = dedup.dedup_keep(_shingle_lines(docs), id_col="doc_id")
@@ -460,42 +495,52 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(sink)
 
 
+def _wrap(fn):
+    def wrapped(spark, sf_dir):
+        _ensure_pkg(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "min_len_filter": q_min_len_filter,
-        "explode_lines": q_explode_lines,
-        "normalize": q_normalize,
-        "line_hash": q_line_hash,
-        "dedup_keep": q_dedup_keep,
-        "dedup_nokeep": q_dedup_nokeep,
-        "regroup": q_regroup,
-        "dup_counts": q_dup_counts,
-        "lang_filter": q_lang_filter,
-        "pp_bucket": q_pp_bucket,
-        "rollup": q_rollup,
-        "topk_per_lang": q_topk_per_lang,
-        "exact_dedup": q_exact_dedup,
-        "fingerprint": q_fingerprint,
-        "token_counts": q_token_counts,
-        "quality": q_quality,
-        "scrub": q_scrub,
-        "minhash_bands": q_minhash_bands,
-        "minhash_pairs": q_minhash_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ann_topk": q_ann_topk,
-        "cosine_neardup": q_cosine_neardup,
-        "events_window": q_events_window,
-        "set_ops": q_set_ops,
-        "sessionize": q_sessionize,
-        "cube_rollup": q_cube_rollup,
-        "event_stats": q_event_stats,
-        "quantiles": q_quantiles,
-        "pairs_pipeline": q_pairs_pipeline,
-        "image_stats": q_image_stats,
-        "simhash": q_simhash,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "streaming_dedup": q_streaming_dedup,
+        "min_len_filter": _wrap(q_min_len_filter),
+        "explode_lines": _wrap(q_explode_lines),
+        "normalize": _wrap(q_normalize),
+        "line_hash": _wrap(q_line_hash),
+        "dedup_keep": _wrap(q_dedup_keep),
+        "dedup_nokeep": _wrap(q_dedup_nokeep),
+        "regroup": _wrap(q_regroup),
+        "dup_counts": _wrap(q_dup_counts),
+        "lang_filter": _wrap(q_lang_filter),
+        "pp_bucket": _wrap(q_pp_bucket),
+        "rollup": _wrap(q_rollup),
+        "topk_per_lang": _wrap(q_topk_per_lang),
+        "exact_dedup": _wrap(q_exact_dedup),
+        "fingerprint": _wrap(q_fingerprint),
+        "token_counts": _wrap(q_token_counts),
+        "quality": _wrap(q_quality),
+        "scrub": _wrap(q_scrub),
+        "minhash_bands": _wrap(q_minhash_bands),
+        "minhash_pairs": _wrap(q_minhash_pairs),
+        "jaccard_pairs": _wrap(q_jaccard_pairs),
+        "ann_topk": _wrap(q_ann_topk),
+        "cosine_neardup": _wrap(q_cosine_neardup),
+        "events_window": _wrap(q_events_window),
+        "set_ops": _wrap(q_set_ops),
+        "sessionize": _wrap(q_sessionize),
+        "cube_rollup": _wrap(q_cube_rollup),
+        "event_stats": _wrap(q_event_stats),
+        "quantiles": _wrap(q_quantiles),
+        "pairs_pipeline": _wrap(q_pairs_pipeline),
+        "image_stats": _wrap(q_image_stats),
+        "simhash": _wrap(q_simhash),
+        "lsh_ann": _wrap(q_lsh_ann),
+        "ivf_ann": _wrap(q_ivf_ann),
+        "streaming_dedup": _wrap(q_streaming_dedup),
     }
 
 
