@@ -75,6 +75,11 @@ def main() -> None:
     n_images = max(10_000, int(sf * ROWS_PER_SF))
     spark = get_spark(app_name="ccnet_spark_bench", cores=CPUS)
 
+    # ship the package to executor workers regardless of launch cwd
+    import __spark_entry__ as entrymod
+
+    entrymod._ensure_pkg(spark)
+
     pairs_path = f"/tmp/ccnet_bench_pairs_sf{sf}_n{n_images}"
     if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
         write_pairs(spark, pairs_path, n_images)
@@ -98,9 +103,8 @@ def main() -> None:
     # -------- per-query timings at SF_DIR (skipped with --pipeline-only)
     timings: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
-        import __spark_entry__ as entrymod
-
         qs = entrymod.queries()
+        materialize(qs[BENCH_QUERIES[0]](spark, SF_DIR))  # untimed JIT warmup
         for name in BENCH_QUERIES:
             t0 = time.time()
             materialize(qs[name](spark, SF_DIR))
