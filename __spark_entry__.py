@@ -223,6 +223,14 @@ def q_regroup(spark, sf_dir):
     )
 
 
+def q_dedup_within_doc(spark, sf_dir):
+    # document-scope dedup_keep + regroup: most docs survive with most words
+    survivors = dedup.dedup_keep(_hashed_lines(_docs(spark, sf_dir)), id_col="doc_id", scope="document")
+    return dedup.regroup(survivors, id_col="doc_id").select(
+        "doc_id", "dedup_caption", "nlines", "length"
+    )
+
+
 def q_dup_counts(spark, sf_dir):
     # A2: duplicate counting
     return (
@@ -514,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": _wrap(q_dedup_keep),
         "dedup_nokeep": _wrap(q_dedup_nokeep),
         "regroup": _wrap(q_regroup),
+        "dedup_within_doc": _wrap(q_dedup_within_doc),
         "dup_counts": _wrap(q_dup_counts),
         "lang_filter": _wrap(q_lang_filter),
         "pp_bucket": _wrap(q_pp_bucket),
@@ -596,6 +605,14 @@ def oracle_sql() -> dict[str, str]:
             f"cast(count(*) as int) as nlines, "
             f"cast(length(string_agg(line, chr(10) order by line_id)) as int) as length "
             f"from ({keep_sql}) group by doc_id"
+        ),
+        "dedup_within_doc": (
+            "select doc_id, string_agg(line, chr(10) order by line_id) as dedup_caption, "
+            "cast(count(*) as int) as nlines, "
+            "cast(length(string_agg(line, chr(10) order by line_id)) as int) as length from ("
+            f"select doc_id, line_id, line from {_HASHED_SQL} "
+            "qualify row_number() over (partition by doc_id, hash_value order by doc_id, line_id) = 1"
+            ") group by doc_id"
         ),
         "dup_counts": (
             f"select hash_value, count(*) as cnt from {_HASHED_SQL} group by hash_value having count(*) > 1"

@@ -31,15 +31,21 @@ from ..functions.normalize import normalize_for_dedup_expr
 
 
 # --------------------------------------------------------------- line level
-def dedup_keep(lines: DataFrame, id_col: str = "image_id") -> DataFrame:
+def dedup_keep(lines: DataFrame, id_col: str = "image_id", scope: str = "global") -> DataFrame:
     """Keep exactly one copy of each repeated line: the (id, line_id)-minimal
     one. A single min_by hash-aggregation — ONE shuffle by hash_value, no
     window sort, no join, map-side partial aggregation applies (vs the
-    reference's dropDuplicates, same shuffle but arbitrary survivor)."""
+    reference's dropDuplicates, same shuffle but arbitrary survivor).
+
+    scope='global' (reference semantics: a line repeated across documents
+    keeps ONE copy in the whole corpus) or 'document' (cheaper common
+    variant: dedup within each document only — grouping adds id, so the
+    shuffle co-partitions with the regroup that follows)."""
+    group = ["hash_value"] if scope == "global" else [F.col(id_col), "hash_value"]
     row = F.struct(F.col(id_col), F.col("line_id"), F.col("line"))
     key = F.struct(F.col(id_col), F.col("line_id"))
     return (
-        lines.groupBy("hash_value")
+        lines.groupBy(*group)
         .agg(F.min_by(row, key).alias("keeper"))
         .select(
             F.col(f"keeper.{id_col}").alias(id_col),
@@ -77,7 +83,7 @@ def regroup(lines: DataFrame, id_col: str = "image_id") -> DataFrame:
     )
 
 
-def line_dedup(df: DataFrame, id_col: str = "image_id", text_col: str = "caption", variant: str = "keep", hash_algo: str = "sha2") -> DataFrame:
+def line_dedup(df: DataFrame, id_col: str = "image_id", text_col: str = "caption", variant: str = "keep", hash_algo: str = "sha2", scope: str = "global") -> DataFrame:
     """Full line-level dedup: explode -> normalize+hash -> dedup -> regroup.
     Returns (id, dedup_caption, line_ids_kept, nlines, length); docs whose
     every line was removed simply vanish (same as the reference — a doc
@@ -86,7 +92,7 @@ def line_dedup(df: DataFrame, id_col: str = "image_id", text_col: str = "caption
 
     lines = with_line_hash(explode_lines(df, id_col, text_col), algo=hash_algo)
     lines = lines.select(id_col, "line_id", "line", "hash_value")
-    survivors = dedup_keep(lines, id_col) if variant == "keep" else dedup_nokeep(lines)
+    survivors = dedup_keep(lines, id_col, scope=scope) if variant == "keep" else dedup_nokeep(lines)
     return regroup(survivors, id_col)
 
 

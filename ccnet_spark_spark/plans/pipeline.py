@@ -54,6 +54,7 @@ ENGINE_COLUMNS = [
 class Config:
     min_len: int = DEFAULT_MIN_LEN
     dedup_variant: str = "keep"  # "keep" | "nokeep" (reference H5/H6)
+    dedup_scope: str = "global"  # "global" (reference) | "document"
     hash_algo: str = "sha2"  # "sha2" (oracle-reproducible) | "xxhash64" (fast path)
     lid_model_path: str | None = None
     lid_threshold: float = 0.5
@@ -99,7 +100,8 @@ class Pipeline:
         # --- narrow text plan: only (id, text) for non-short docs ---
         docs = base.filter(~F.col("too_short")).select(id_col, text_col)
         enriched = dedup.line_dedup(
-            docs, id_col=id_col, text_col=text_col, variant=cfg.dedup_variant, hash_algo=cfg.hash_algo
+            docs, id_col=id_col, text_col=text_col, variant=cfg.dedup_variant,
+            hash_algo=cfg.hash_algo, scope=cfg.dedup_scope,
         )
         if "lid" in cfg.steps:
             enriched = lid.with_lang(enriched, "dedup_caption", cfg.lid_model_path, cfg.lid_threshold)

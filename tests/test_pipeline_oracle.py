@@ -154,3 +154,24 @@ def test_lang_filter_verdict(spark):
     assert len(filtered) > 0
     assert (filtered["lang"] != "en").all()
     assert (engine[engine["keep"]]["lang"] == "en").all()
+
+
+def test_document_scope_dedup(spark):
+    """Within-document dedup: cross-document boilerplate survives in every
+    doc; within-doc repeats still collapse."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "shared line\nunique to a\nshared line"),
+        ("b", "shared line\nunique to b"),
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "caption"]).withColumn("bytes", F.lit(None).cast("binary")) \
+        .withColumn("w", F.lit(1)).withColumn("h", F.lit(1)).withColumn("fmt", F.lit("ppm")).withColumn("phash", F.lit(0))
+    cfg = Config(cutoffs=load_cutoffs_dict(), min_len=5, dedup_scope="document")
+    out = {r["image_id"]: r["dedup_caption"] for r in Pipeline(spark, cfg).run(df).collect()}
+    assert out["a"] == "shared line\nunique to a"  # within-doc repeat collapsed
+    assert out["b"] == "shared line\nunique to b"  # cross-doc copy survives
+    cfg_g = Config(cutoffs=load_cutoffs_dict(), min_len=5, dedup_scope="global")
+    out_g = {r["image_id"]: r["dedup_caption"] for r in Pipeline(spark, cfg_g).run(df).collect()}
+    assert out_g["a"] == "shared line\nunique to a"
+    assert out_g["b"] == "unique to b"  # global: b's copy removed
