@@ -431,6 +431,40 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_star_join(spark, sf_dir):
+    # general join breadth: 4-table star join, broadcast dims, grouped revenue
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape: multi-aggregate rollup over lineitem
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 # ------------------------------------------------ rows-only (no SQL oracle)
 def q_pairs_pipeline(spark, sf_dir):
     """Full image+caption pipeline on 400 deterministic synthetic pairs:
@@ -544,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": _wrap(q_cube_rollup),
         "event_stats": _wrap(q_event_stats),
         "quantiles": _wrap(q_quantiles),
+        "star_join": _wrap(q_star_join),
+        "pricing_summary": _wrap(q_pricing_summary),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
         "image_stats": _wrap(q_image_stats),
         "simhash": _wrap(q_simhash),
@@ -702,6 +738,21 @@ def oracle_sql() -> dict[str, str]:
         "cube_rollup": (
             "select lang, source, count(*) as n_docs, sum(n_chars) as sum_chars "
             "from documents group by cube (lang, source)"
+        ),
+        "star_join": (
+            "select n_name, count(*) as n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue "
+            "from lineitem join orders on l_orderkey = o_orderkey "
+            "join customer on o_custkey = c_custkey "
+            "join nation on c_nationkey = n_nationkey group by n_name"
+        ),
+        "pricing_summary": (
+            "select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty, "
+            "round(sum(l_extendedprice), 2) as sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price, "
+            "round(avg(l_quantity), 4) as avg_qty, count(*) as count_order "
+            "from lineitem where l_shipdate <= date '1998-09-02' "
+            "group by l_returnflag, l_linestatus"
         ),
         "event_stats": (
             "select event_type, count(*) as n, round(avg(value), 4) as avg_value, "
