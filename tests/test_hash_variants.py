@@ -26,3 +26,22 @@ def test_xxhash64_labels_match_sha2(spark):
         .collect()
     )
     assert a == b
+
+
+def test_results_invariant_to_partitioning(spark):
+    """Verdicts must not depend on physical partitioning (catches
+    accidental partition-local logic in a global-semantics pipeline)."""
+    cutoffs = load_cutoffs_dict()
+    cols = ["image_id", "keep", "drop_reason", "dedup_caption", "bucket", "scrubbed_caption"]
+    base = generate_pairs(spark, 300)
+    a = (
+        Pipeline(spark, Config(cutoffs=cutoffs))
+        .run(base.repartition(3))
+        .select(*cols).orderBy("image_id").collect()
+    )
+    b = (
+        Pipeline(spark, Config(cutoffs=cutoffs))
+        .run(base.repartition(17))
+        .select(*cols).orderBy("image_id").collect()
+    )
+    assert a == b
