@@ -49,34 +49,46 @@ def _ensure_pkg(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
+    import hashlib
     import tempfile
     import zipfile
 
-    zpath = os.path.join(tempfile.gettempdir(), "ccnet_spark_spark_pkg.zip")
     pkg = os.path.join(_REPO_DIR, "ccnet_spark_spark")
-    newest_src = max(
-        os.path.getmtime(os.path.join(root, f))
+    srcs = sorted(
+        os.path.join(root, f)
         for root, _d, files in os.walk(pkg)
         for f in files
         if f.endswith(".py")
     )
-    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest_src:
-        with zipfile.ZipFile(zpath, "w") as z:
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO_DIR))
+    # Content-hash-named cache in a per-uid 0700 dir, written atomically via
+    # mkstemp + os.replace: a fixed world-writable path keyed on mtime is a
+    # race / planted-file surface on shared hosts (the zip ships to every
+    # executor via addPyFile).
+    digest = hashlib.sha256()
+    for full in srcs:
+        digest.update(os.path.relpath(full, _REPO_DIR).encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    cache_dir = os.path.join(tempfile.gettempdir(), f"ccnet_spark_pkg_{os.getuid()}")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    zpath = os.path.join(cache_dir, f"ccnet_spark_spark_{digest.hexdigest()[:16]}.zip")
+    if not os.path.exists(zpath):
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".zip")
+        try:
+            with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as z:
+                for full in srcs:
+                    z.write(full, os.path.relpath(full, _REPO_DIR))
+            os.replace(tmp, zpath)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     spark.sparkContext.addPyFile(zpath)
     _SHIPPED.add(key)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))  # placeholder
 
 
 # --------------------------------------------------------------------------
@@ -659,8 +671,11 @@ def oracle_sql() -> dict[str, str]:
             + bucket_op.bucket_case_sql(_pp_sql("text"), "lang", cutoffs)
             + " as bucket from documents"
         ),
+        # bigint casts on integer aggregates throughout: DuckDB returns
+        # integer sum()/windowed sum() as HUGEINT -> pandas float64, which
+        # hash-mismatches Spark's int64 despite identical values.
         "rollup": (
-            "select lang, source, count(*) as n_docs, sum(n_chars) as sum_chars, "
+            "select lang, source, count(*) as n_docs, cast(sum(n_chars) as bigint) as sum_chars, "
             "round(avg(n_chars), 2) as avg_chars from documents group by lang, source"
         ),
         "topk_per_lang": (
@@ -729,14 +744,14 @@ def oracle_sql() -> dict[str, str]:
             "union all select doc_id from (select doc_id from fr intersect select doc_id from lng))"
         ),
         "sessionize": (
-            "select user_id, event_id, sum(new_sess) over "
-            "(partition by user_id order by ts, event_id) as session_id from ("
+            "select user_id, event_id, cast(sum(new_sess) over "
+            "(partition by user_id order by ts, event_id) as bigint) as session_id from ("
             "select user_id, event_id, ts, case when epoch(ts) - "
             "lag(epoch(ts)) over (partition by user_id order by ts, event_id) > 1800 "
             "then 1 else 0 end as new_sess from events)"
         ),
         "cube_rollup": (
-            "select lang, source, count(*) as n_docs, sum(n_chars) as sum_chars "
+            "select lang, source, count(*) as n_docs, cast(sum(n_chars) as bigint) as sum_chars "
             "from documents group by cube (lang, source)"
         ),
         "star_join": (

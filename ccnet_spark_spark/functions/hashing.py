@@ -40,9 +40,15 @@ def line_hash_py(text: str) -> str:
 def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array, as built-in expressions:
     transform(sequence(0, size-n), i -> concat_ws(' ', tokens[i..i+n-1])).
-    Empty result when fewer than n tokens."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(n)]))
+    Empty result when fewer than n tokens (or a null array).
+
+    The short case MUST be guarded explicitly: Spark's sequence(0, negative)
+    yields a DESCENDING sequence (e.g. [0, -1]), not an empty array, and the
+    element_at(tokens, 0) it would drive throws under ANSI mode. CASE WHEN
+    only evaluates the matching branch, so the guard is airtight."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(n)]))
+    return F.when(F.size(tokens) >= n, shingles).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_expr(shingles: Column, num_hashes: int = 16) -> Column:
@@ -121,19 +127,26 @@ FP_MOD = 1_000_003
 def fingerprint_expr(tokens: Column) -> Column:
     """Order-sensitive polynomial fingerprint, pure built-ins:
     sum over i of (i+1) * (ascii(first char) * 31 + token length) mod FP_MOD.
-    SQL-twin reproducible in DuckDB (fingerprint_sql)."""
+    SQL-twin reproducible in DuckDB (fingerprint_sql).
+
+    i is widened to long BEFORE the multiply: sequence() yields array<int>,
+    and for very long token arrays (~>500k tokens, plausible in raw web
+    documents) the int32 product would overflow — an arithmetic error under
+    ANSI mode. DuckDB's range() is already BIGINT, so the twins agree."""
     idx = F.sequence(F.lit(1), F.size(tokens))
     terms = F.zip_with(
         idx,
         tokens,
-        lambda i, w: (i * (F.ascii(F.substring(w, 1, 1)) * 31 + F.length(w))) % FP_MOD,
+        lambda i, w: (i.cast("long") * (F.ascii(F.substring(w, 1, 1)) * 31 + F.length(w))) % FP_MOD,
     )
     return F.coalesce(F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % FP_MOD), F.lit(0).cast("long"))
 
 
 def fingerprint_sql(tokens_expr: str) -> str:
+    # outer bigint cast: DuckDB's list_sum over integers returns HUGEINT,
+    # which lands in pandas as float64 and hash-mismatches Spark's int64.
     return (
-        f"coalesce(list_sum(list_transform(range(1, len({tokens_expr}) + 1), "
+        f"cast(coalesce(list_sum(list_transform(range(1, len({tokens_expr}) + 1), "
         f"i -> (i * (ascii(substr(list_extract({tokens_expr}, i), 1, 1)) * 31 "
-        f"+ length(list_extract({tokens_expr}, i)))) % {FP_MOD})) % {FP_MOD}, 0)"
+        f"+ length(list_extract({tokens_expr}, i)))) % {FP_MOD})) % {FP_MOD}, 0) as bigint)"
     )

@@ -48,12 +48,21 @@ def lang_filter(df: DataFrame, selected_langs: list[str] | None) -> DataFrame:
     return df.filter(F.col("lang").isin(selected_langs))
 
 
-def salted_repartition(df: DataFrame, num_partitions: int, key_col: str = "lang", salt_buckets: int = 32) -> DataFrame:
+def salted_repartition(df: DataFrame, num_partitions: int, key_col: str = "lang", salt_buckets: int = 32, id_col: str | None = None) -> DataFrame:
     """Skew fix for language-imbalanced data (en dominates): repartition by
-    (key, random salt) so one hot language spreads over salt_buckets
-    partitions instead of one. Replaces the reference's blunt
-    repartition(n) at /root/reference/pipe_line.py:289-290. The salt is only
-    a partitioning column; it is dropped immediately (downstream per-row
-    model UDFs don't care about co-location, so salting is semantics-free)."""
-    salted = df.withColumn("_salt", (F.rand(seed=13) * salt_buckets).cast("int"))
+    (key, salt) so one hot language spreads over salt_buckets partitions
+    instead of one. Replaces the reference's blunt repartition(n) at
+    /root/reference/pipe_line.py:289-290. The salt is only a partitioning
+    column; it is dropped immediately (downstream per-row model UDFs don't
+    care about co-location, so salting is semantics-free).
+
+    The salt is DETERMINISTIC — pmod(xxhash64(id_col or all columns),
+    buckets) — never rand(): repartitioning on a nondeterministic expression
+    can duplicate or lose rows when a shuffle map task is recomputed after a
+    fetch failure (partial stage retry would re-roll the salt), exactly the
+    failure mode the 100 TB scale path must survive."""
+    salt_src = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)).cast("int")
+    )
     return salted.repartition(num_partitions, F.col(key_col), F.col("_salt")).drop("_salt")

@@ -106,7 +106,7 @@ class Pipeline:
         if "lid" in cfg.steps:
             enriched = lid.with_lang(enriched, "dedup_caption", cfg.lid_model_path, cfg.lid_threshold)
             n_parts = cfg.salt_partitions or self.spark.sparkContext.defaultParallelism
-            enriched = lid.salted_repartition(enriched, n_parts, "lang")
+            enriched = lid.salted_repartition(enriched, n_parts, "lang", id_col=id_col)
         if "sp" in cfg.steps and "lm" in cfg.steps and cfg.fuse_lm:
             # one Arrow crossing for tokenize+perplexity (see perplexity.py)
             enriched = perplexity.with_tokenized_and_perplexity(enriched, "dedup_caption", cfg.lm_dir)

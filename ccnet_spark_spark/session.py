@@ -44,38 +44,62 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
-    cores: int N -> master local[N]; None -> local[*] (or inherit an
-    existing session / spark-submit master).
+    Master resolution: an explicit ``cores`` argument (or SPARK_GRAFT_CPUS)
+    wins -> local[N]. Otherwise, a master already configured by spark-submit
+    / an existing SparkConf is INHERITED untouched — on a real cluster this
+    function must never silently downgrade the job to single-JVM local mode.
+    Only when neither exists does it default to local[*].
+
+    Engine tunables are applied set-if-absent: anything the operator passed
+    via spark-submit --conf takes precedence over our local-sandbox defaults
+    (driver memory in particular is only meaningful pre-JVM-launch and must
+    stay under spark-submit's control on a cluster).
     """
+    from pyspark import SparkConf
+
+    submitted = SparkConf()  # loads spark.* system properties set by spark-submit
     if cores is None:
-        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
-    n_cores = os.cpu_count() or 8 if cores in ("*", None) else int(cores)
-    if shuffle_partitions is None:
-        # ~cores for local runs; a real cluster submit overrides this
+        cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is not None or not submitted.contains("spark.master"):
+        master = f"local[{cores if cores is not None else '*'}]"
+        n_cores = os.cpu_count() or 8 if cores in ("*", None) else int(cores)
+    else:
+        master = None  # inherit the submitted master
+        n_cores = None
+    if shuffle_partitions is None and n_cores is not None:
+        # ~cores for local runs; a real cluster submit sets its own
         # (rule of thumb: 2-3x total executor cores, or rely on AQE coalesce).
         shuffle_partitions = max(int(n_cores), 8)
 
-    b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", _LOCAL_DRIVER_MEMORY)
-        .config("spark.driver.maxResultSize", "4g")
-        .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
+
+    def conf_if_absent(builder, key, value):
+        return builder if submitted.contains(key) else builder.config(key, value)
+
+    if shuffle_partitions is not None:
+        b = conf_if_absent(b, "spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for key, value in [
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.adaptive.localShuffleReader.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", "10000"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.driver.maxResultSize", "4g"),
+        ("spark.sql.parquet.compression.codec", "zstd"),
+        ("spark.serializer", "org.apache.spark.serializer.KryoSerializer"),
+        ("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false")),
         # Keep binary image payloads from blowing file-split planning:
         # 128MB splits are the parquet default sweet spot at scale.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
-    )
+        ("spark.sql.files.maxPartitionBytes", "134217728"),
+    ]:
+        b = conf_if_absent(b, key, value)
+    if master is not None:
+        # driver memory is ours to size only when we launch the local JVM
+        b = conf_if_absent(b, "spark.driver.memory", _LOCAL_DRIVER_MEMORY)
     if iceberg_configured():
         # Production path: a hadoop-catalog Iceberg warehouse. Safe to set
         # only when the jar is actually on the classpath.

@@ -42,6 +42,22 @@ def _iceberg_available() -> bool:
     return iceberg_configured()
 
 
+def iceberg_partition_transforms(
+    partition_cols: tuple[str, ...] = ("lang", "bucket"),
+    bucket_by: tuple[int, str] | None = (64, "image_id"),
+) -> list:
+    """The partition spec of the production table: identity transforms on
+    (lang, bucket) + bucket(N, image_id). Exposed separately so the spec
+    construction is unit-testable without the runtime jar (the jar is only
+    needed at createOrReplace time, not to build the transform expressions)."""
+    from pyspark.sql.functions import partitioning
+
+    parts = [F.col(c) for c in partition_cols]
+    if bucket_by:
+        parts.append(partitioning.bucket(bucket_by[0], bucket_by[1]))
+    return parts
+
+
 def write_result_iceberg(
     df: DataFrame,
     table: str = "local.db.pairs_result",
@@ -58,11 +74,7 @@ def write_result_iceberg(
         raise RuntimeError(
             "Iceberg runtime jar not on classpath; use write_result() (hive-partitioned parquet, same logical contract)"
         )
-    from pyspark.sql import functions as F
-
-    parts = [F.col(c) for c in partition_cols]
-    if bucket_by:
-        parts.append(F.bucket(bucket_by[0], bucket_by[1]))
+    parts = iceberg_partition_transforms(partition_cols, bucket_by)
     df.writeTo(table).using("iceberg").partitionedBy(*parts).createOrReplace()
 
 

@@ -134,3 +134,24 @@ def test_iceberg_path_gated(spark):
         tables.write_result_iceberg(generate_pairs(spark, 5))
     with pytest.raises(RuntimeError):
         tables.read_iceberg(spark)
+
+
+def test_iceberg_partition_spec_construction(spark):
+    """The jar is only needed at createOrReplace; the partition spec
+    (identity(lang), identity(bucket), bucket(64, image_id)) and the
+    DataFrameWriterV2 chain itself must build without it — this pins the
+    production writer's plumbing even though the final call is gated."""
+    from pyspark.sql import functions as F
+
+    from ccnet_spark_spark.sources import tables
+    from ccnet_spark_spark.synth import generate_pairs
+
+    parts = tables.iceberg_partition_transforms(("lang", "bucket"), (64, "image_id"))
+    specs = [str(c) for c in parts]
+    assert len(specs) == 3
+    assert "lang" in specs[0] and "bucket" in specs[1]
+    assert "bucket(64, image_id)" in specs[2].replace("'", "")
+    # the writer chain builds fine; only execution needs the jar
+    df = generate_pairs(spark, 3).withColumn("bucket", F.lit("head")).withColumn("lang", F.lit("en"))
+    writer = df.writeTo("local.db.pairs_result").using("iceberg").partitionedBy(*parts)
+    assert writer is not None

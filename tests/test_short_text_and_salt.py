@@ -1,0 +1,78 @@
+"""Regression tests for round-2 ADVICE fixes.
+
+1. word_shingles_expr must return an EMPTY array (not crash) for texts with
+   fewer than n tokens: Spark's sequence(0, negative) yields a descending
+   sequence ([0, -1]), and element_at(tokens, 0) throws under ANSI mode.
+   Round-1 testdata never exercised short docs, so the flagship chain,
+   dedup_nokeep, minhash and jaccard all crashed on short/empty captions.
+2. fingerprint_expr must not overflow int32 on very long token arrays.
+3. salted_repartition must be DETERMINISTIC (content-derived salt, not
+   rand()): a shuffle map-task retry must reproduce identical partition
+   assignment or rows are duplicated/lost at scale.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ccnet_spark_spark.functions import hashing
+from ccnet_spark_spark.operators import dedup
+from ccnet_spark_spark.operators.lid import salted_repartition
+
+SHORT_TEXTS = ["", "one", "two words", "   ", "exactly three words", "a b"]
+
+
+@pytest.fixture()
+def short_docs(spark):
+    return spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(SHORT_TEXTS)], ["doc_id", "text"]
+    )
+
+
+def test_shingles_short_texts_no_crash(spark, short_docs):
+    toks = short_docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    out = toks.select(
+        "doc_id", hashing.word_shingles_expr(F.col("toks"), n=3).alias("sh")
+    ).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert by_id["d0"] == []  # "" -> [''] -> 1 token < 3
+    assert by_id["d1"] == []  # 1 token
+    assert by_id["d2"] == []  # 2 tokens
+    assert by_id["d4"] == ["exactly three words"]  # exactly n tokens -> 1 shingle
+
+
+def test_shingles_null_tokens_empty(spark):
+    df = spark.createDataFrame([("d0", None)], "doc_id string, text string")
+    toks = df.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    out = toks.select(hashing.word_shingles_expr(F.col("toks"), n=3).alias("sh")).collect()
+    assert out[0]["sh"] == []
+
+
+def test_minhash_and_jaccard_on_short_docs(spark, short_docs):
+    # the full shingle-consumer chain must survive short/empty/punct-only docs
+    sigs = dedup.minhash_signatures(short_docs, "doc_id", "text", num_hashes=8).collect()
+    assert len(sigs) == len(SHORT_TEXTS)
+    # docs without shingles get the 'z' sentinel signature
+    sentinel = [r for r in sigs if r["signature"][0] == "z"]
+    assert len(sentinel) >= 4
+    pairs = dedup.ngram_jaccard_pairs(short_docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    pairs.collect()  # no crash; tiny docs share no trigram shingles
+
+
+def test_fingerprint_long_array_no_overflow(spark):
+    # i * (ascii*31 + len) exceeds int32 around i ~ 700k; 800k tokens must
+    # neither error (ANSI overflow) nor wrap negative.
+    df = spark.range(1).select(F.array_repeat(F.lit("abc"), 800_000).alias("toks"))
+    val = df.select(hashing.fingerprint_expr(F.col("toks")).alias("fp")).collect()[0]["fp"]
+    assert 0 <= val < hashing.FP_MOD
+
+
+def test_salted_repartition_is_deterministic(spark):
+    df = spark.range(2000).withColumn(
+        "lang", F.when(F.col("id") % 100 < 55, "en").otherwise((F.col("id") % 5).cast("string"))
+    )
+    a = salted_repartition(df, 16, "lang", salt_buckets=32).rdd.glom().collect()
+    b = salted_repartition(df, 16, "lang", salt_buckets=32).rdd.glom().collect()
+    as_sets = lambda parts: [sorted(r["id"] for r in p) for p in parts]  # noqa: E731
+    assert as_sets(a) == as_sets(b)  # identical partition assignment on re-run

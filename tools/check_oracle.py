@@ -78,6 +78,20 @@ def main():
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
             failures.append(name)
             continue
+        # Type-strictness mirror of the driver's value hash: an int64 Spark
+        # column vs a HUGEINT->float64 DuckDB column has equal values but
+        # different hashed representations — catch it here, not in the round.
+        kind_mismatch = [
+            c
+            for c in sorted(sdf.columns)
+            if {sdf[c].dtype.kind, odf[c].dtype.kind} in ({"i", "f"}, {"u", "f"})
+        ]
+        if kind_mismatch:
+            print(f"FAIL  {name}: int-vs-float dtype mismatch in {kind_mismatch} "
+                  f"(spark {[str(sdf[c].dtype) for c in kind_mismatch]} vs "
+                  f"duckdb {[str(odf[c].dtype) for c in kind_mismatch]})")
+            failures.append(name)
+            continue
         if len(a) != len(b):
             print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
             failures.append(name)
