@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ccnet_spark_spark import models as models_mod
 from ccnet_spark_spark.functions import hashing, textstats
 from ccnet_spark_spark.functions.normalize import (
     normalize_for_dedup_expr,
@@ -220,6 +221,20 @@ def _shingle_lines(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_dedup_keep_xxhash(spark, sf_dir):
+    """H5 under the production fast-path hash (xxhash64: true int64, no hex
+    materialization — functions/hashing.py). Survivor LABELS are
+    hash-algorithm-invariant absent collisions, so the sha2-based DuckDB
+    twin (same SQL as dedup_keep) oracle-checks the xxhash64 plan
+    end-to-end instead of only self-consistency."""
+    docs = _docs(spark, sf_dir)
+    lines = _word_lines(docs).withColumn(
+        "hash_value",
+        hashing.line_hash_expr(normalize_for_dedup_expr(F.col("line")), algo="xxhash64"),
+    )
+    return dedup.dedup_keep(lines, id_col="doc_id")
+
+
 def q_dedup_nokeep(spark, sf_dir):
     # H6: drop all copies of repeated lines
     return dedup.dedup_nokeep(_shingle_lines(_docs(spark, sf_dir))).select(
@@ -349,8 +364,18 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    # exact n-gram Jaccard similar pairs
+    # exact n-gram Jaccard similar pairs — EXACTNESS BASELINE ONLY (raw
+    # shared-shingle self-join, quadratic within shingle buckets); the
+    # contract-visible scale shape is q_lsh_then_jaccard
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+def q_lsh_then_jaccard(spark, sf_dir):
+    # the 100 TB near-dup shape: LSH banding -> exact Jaccard verify on the
+    # banded candidates only (never all pairs)
+    return dedup.lsh_then_jaccard(
+        _docs(spark, sf_dir), "doc_id", "text", num_hashes=8, num_bands=4, shingle_n=3, threshold=0.5
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -360,8 +385,19 @@ def q_ann_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries_df, k=5)
 
 
+def q_emb_neardup_lsh(spark, sf_dir):
+    # the scale-safe embedding near-dup shape: hyperplane-LSH buckets ->
+    # exact cosine verify within bucket (operators/similarity.py). The
+    # DuckDB twin reproduces the exact bucket bits from the same plane
+    # literals, so this approximate operator is value-checked, not rows-only.
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).where(F.col("vec_id") < 200)
+    return similarity.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.3, n_planes=4, dim=64)
+
+
 def q_cosine_neardup(spark, sf_dir):
-    # exact embedding-cosine near-dup pairs
+    # exact embedding-cosine near-dup pairs — EXACTNESS BASELINE ONLY
+    # (bounded 200x200 crossJoin); the contract-visible scale shape is
+    # q_emb_neardup_lsh / similarity.embedding_near_dup
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).where(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
@@ -477,6 +513,37 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_ccnet_chain(spark, sf_dir):
+    """FLAGSHIP, oracle-checked end-to-end: the full quality-filter chain
+    (min_len -> line dedup_keep -> regroup -> stub LID -> stub tokenize+pp
+    -> bucket -> scrub -> keep/drop verdict) via plans.pipeline.Pipeline over
+    the documents table. Every stage's math is reproduced in the composed
+    DuckDB twin (oracle_sql 'ccnet_chain'), including the LID argmax and the
+    closed-form perplexity — the single strongest correctness artifact.
+
+    Nullable ints (nlines/length) are cast to double on BOTH sides: pandas
+    represents nullable integers as float64, so the hashed representation
+    only matches when the cast is explicit and symmetric."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = Pipeline(spark, Config(min_len=MIN_LEN_DOCS, cutoffs=_cutoffs())).run(
+        docs, id_col="doc_id", text_col="text"
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("score").cast("double"), 2).alias("score"),
+        F.round(F.col("perplexity").cast("double"), 1).alias("pp"),
+        "bucket",
+        F.col("nlines").cast("double").alias("nlines"),
+        F.col("length").cast("double").alias("length"),
+        "scrubbed_caption",
+        "keep",
+        "drop_reason",
+    )
+
+
 # ------------------------------------------------ rows-only (no SQL oracle)
 def q_pairs_pipeline(spark, sf_dir):
     """Full image+caption pipeline on 400 deterministic synthetic pairs:
@@ -501,15 +568,17 @@ def q_image_stats(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (vectorized pandas UDF; bit math not portably
-    SQL-expressible -> rows-only)."""
+    """SimHash fingerprints (vectorized pandas UDF). blake2b bit math cannot
+    run in DuckDB -> rows-only HERE, but value-checked against the pure
+    pandas oracle + pinned expected hashes in tests/test_simhash_oracle.py."""
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", hashing.make_simhash_udf()(F.col("text")).alias("simhash"))
 
 
 def q_lsh_ann(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbors (scale path; approximate
-    by construction -> rows-only)."""
+    """LSH-bucketed approximate nearest neighbors (scale path). Approximate
+    vs brute force, but fully DETERMINISTIC given the seeded hyperplanes —
+    the DuckDB twin rebuilds the same buckets, so this is value-checked."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.where(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, queries_df, k=5, n_planes=6)
@@ -566,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": _wrap(q_normalize),
         "line_hash": _wrap(q_line_hash),
         "dedup_keep": _wrap(q_dedup_keep),
+        "dedup_keep_xxhash": _wrap(q_dedup_keep_xxhash),
         "dedup_nokeep": _wrap(q_dedup_nokeep),
         "regroup": _wrap(q_regroup),
         "dedup_within_doc": _wrap(q_dedup_within_doc),
@@ -582,7 +652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _wrap(q_minhash_bands),
         "minhash_pairs": _wrap(q_minhash_pairs),
         "jaccard_pairs": _wrap(q_jaccard_pairs),
+        "lsh_then_jaccard": _wrap(q_lsh_then_jaccard),
         "ann_topk": _wrap(q_ann_topk),
+        "emb_neardup_lsh": _wrap(q_emb_neardup_lsh),
         "cosine_neardup": _wrap(q_cosine_neardup),
         "events_window": _wrap(q_events_window),
         "set_ops": _wrap(q_set_ops),
@@ -592,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _wrap(q_quantiles),
         "star_join": _wrap(q_star_join),
         "pricing_summary": _wrap(q_pricing_summary),
+        "ccnet_chain": _wrap(q_ccnet_chain),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
         "image_stats": _wrap(q_image_stats),
         "simhash": _wrap(q_simhash),
@@ -636,6 +709,9 @@ def oracle_sql() -> dict[str, str]:
         "normalize": f"select doc_id, {norm} as norm_text from documents",
         "line_hash": f"select doc_id, line_id, hash_value from {_HASHED_SQL}",
         "dedup_keep": keep_sql,
+        # same twin on purpose: survivor labels are hash-algo-invariant, so
+        # the sha2 oracle checks the xxhash64 production path
+        "dedup_keep_xxhash": keep_sql,
         "dedup_nokeep": (
             "select doc_id, line_id, line from ("
             "select doc_id, line_id, line, "
@@ -705,6 +781,20 @@ def oracle_sql() -> dict[str, str]:
             f"{sig_cte} select distinct a.doc_id as id_a, b.doc_id as id_b "
             "from bands a join bands b using (band_key) where a.doc_id < b.doc_id"
         ),
+        "lsh_then_jaccard": (
+            f"{sig_cte}, "
+            "cand as (select distinct a.doc_id as id_a, b.doc_id as id_b "
+            "from bands a join bands b using (band_key) where a.doc_id < b.doc_id), "
+            "shl as (select doc_id, list_distinct("
+            + shingles.replace("toks", toks_norm)
+            + ") as sh from documents) "
+            "select id_a, id_b, jaccard from ("
+            "select id_a, id_b, case when len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) = 0 "
+            "then 0.0 else round(cast(len(list_intersect(sa.sh, sb.sh)) as double) / "
+            "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) end as jaccard "
+            "from cand join shl sa on sa.doc_id = id_a join shl sb on sb.doc_id = id_b) "
+            "where jaccard >= 0.5"
+        ),
         "jaccard_pairs": (
             "with sh as (select doc_id, unnest(list_distinct("
             + shingles.replace("toks", toks_norm)
@@ -730,6 +820,30 @@ def oracle_sql() -> dict[str, str]:
             "from embeddings a, embeddings b "
             "where a.vec_id < 200 and b.vec_id < 200 and a.vec_id < b.vec_id "
             "and " + cos + " >= 0.4"
+        ),
+        "emb_neardup_lsh": (
+            "with bk as (select vec_id, embedding, "
+            + similarity.lsh_bucket_sql("embedding", similarity.hyperplanes(64, 4))
+            + " as bucket from embeddings where vec_id < 200) "
+            "select id_a, id_b, cosine from ("
+            "select a.vec_id as id_a, b.vec_id as id_b, " + cos + " as cosine "
+            "from bk a join bk b using (bucket) where a.vec_id < b.vec_id) "
+            "where cosine >= 0.3"
+        ),
+        "lsh_ann": (
+            "with cb as (select vec_id as neighbor_id, embedding, "
+            + similarity.lsh_bucket_sql("embedding", similarity.hyperplanes(64, 6))
+            + " as bucket from embeddings), "
+            "qb as (select vec_id as query_id, embedding, "
+            + similarity.lsh_bucket_sql("embedding", similarity.hyperplanes(64, 6))
+            + " as bucket from embeddings where vec_id < 5), "
+            "scored as (select qb.query_id, cb.neighbor_id, "
+            # replace b.* first: "qb.embedding" itself contains "b.embedding"
+            + cos.replace("b.embedding", "cb.embedding").replace("a.embedding", "qb.embedding")
+            + " as cosine from cb join qb using (bucket) where cb.neighbor_id <> qb.query_id) "
+            "select query_id, neighbor_id, "
+            "row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank, cosine "
+            "from scored qualify rank <= 5"
         ),
         "events_window": (
             "select time_bucket(interval '5 minutes', ts) as window_start, event_type, "
@@ -779,4 +893,39 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(n_chars, 0.5), 4) as p50, "
             "round(quantile_cont(n_chars, 0.75), 4) as p75 from documents group by lang"
         ),
+        "ccnet_chain": _ccnet_chain_sql(cutoffs),
     }
+
+
+def _ccnet_chain_sql(cutoffs: dict[str, tuple[float, float]]) -> str:
+    """Composed DuckDB twin of the FULL pipeline (q_ccnet_chain): min_len ->
+    global line dedup_keep (documents are single-line, so whole-text hash) ->
+    regroup -> stub LID -> stub tokenize+perplexity (closed form) -> bucket
+    CASE -> scrub -> verdict. Built from the exact same SQL-twin generators
+    every stage's unit oracle uses — engine and oracle share constants."""
+    chain_hash = hashing.line_hash_sql(normalize_for_dedup_sql("text"))
+    lid_sub = models_mod.stub_lid_sql("kept", "dedup_caption", ["doc_id"])
+    return (
+        "with base as (select doc_id, text, length(text) as original_length from documents), "
+        "kept as (select doc_id, text as dedup_caption from ("
+        f"select doc_id, text, {chain_hash} as hv from base "
+        f"where original_length >= {MIN_LEN_DOCS}) "
+        "qualify row_number() over (partition by hv order by doc_id) = 1), "
+        f"lid as ({lid_sub}), "
+        "pp as (select doc_id, dedup_caption, lang, score, "
+        f"case when lang is null then null else {_pp_sql('dedup_caption')} end as pp from lid), "
+        "enriched as (select doc_id, dedup_caption, lang, score, pp, "
+        + bucket_op.bucket_case_sql("pp", "lang", cutoffs)
+        + " as bucket from pp) "
+        "select doc_id, lang, score, pp, bucket, nlines, length, scrubbed_caption, "
+        "drop_reason is null as keep, drop_reason from ("
+        "select b.doc_id, e.lang, e.score, e.pp, coalesce(e.bucket, 'all') as bucket, "
+        "case when e.doc_id is not null then cast(1 as double) end as nlines, "
+        "cast(length(e.dedup_caption) as double) as length, "
+        + scrub_sql("coalesce(e.dedup_caption, b.text)")
+        + " as scrubbed_caption, "
+        f"case when coalesce(b.original_length < {MIN_LEN_DOCS}, true) then 'too_short' "
+        "when e.doc_id is null or length(e.dedup_caption) = 0 then 'dup_lines_all' "
+        "when e.lang is null then 'lid_null' end as drop_reason "
+        "from base b left join enriched e using (doc_id))"
+    )

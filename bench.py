@@ -42,8 +42,11 @@ BENCH_QUERIES = [
     "token_counts",
     "minhash_pairs",
     "jaccard_pairs",
+    "lsh_then_jaccard",
     "ann_topk",
+    "emb_neardup_lsh",
     "events_window",
+    "ccnet_chain",
 ]
 
 

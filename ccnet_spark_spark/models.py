@@ -102,6 +102,38 @@ def stub_predict_lang(texts: pd.Series, threshold: float = LID_THRESHOLD) -> pd.
     return pd.DataFrame({"lang": langs, "score": pd.array(scores, dtype="float64")})
 
 
+def stub_lid_sql(input_rel: str, text_col: str, carry_cols: list[str], threshold: float = LID_THRESHOLD) -> str:
+    """DuckDB twin of stub_predict_lang, as a subquery over ``input_rel``:
+    tokenize (lower, whitespace-split, drop empties), count marker hits per
+    language, argmax with alphabetical-first tie-break, round(hits/n, 2)
+    score, null both when best hits = 0 or score < threshold. Generated from
+    the SAME _MARKERS the stub uses, so engine and oracle cannot diverge."""
+    carry = ", ".join(carry_cols)
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(replace({text_col}, chr(10), ' ')), "
+        "'\\s+'), t -> t <> '')"
+    )
+    hit_cols = []
+    for lang in LANGS:
+        words = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(_MARKERS[lang]))
+        hit_cols.append(f"len(list_filter(_toks, t -> list_contains([{words}], t))) as h_{lang}")
+    inner = (
+        f"select {carry}, {text_col}, greatest(len(_toks), 1) as _n, {', '.join(hit_cols)} "
+        f"from (select {carry}, {text_col}, {toks} as _toks from {input_rel})"
+    )
+    maxh = "greatest(" + ", ".join(f"h_{lang}" for lang in LANGS) + ")"
+    score = f"round(cast({maxh} as double) / _n, 2)"
+    null_when = f"{maxh} = 0 or {score} < {threshold}"
+    # first-match-wins in alphabetical order = the stub's `hits > best` loop
+    arms = " ".join(f"when h_{lang} = {maxh} then '{lang}'" for lang in LANGS)
+    return (
+        f"select {carry}, {text_col}, "
+        f"case when {null_when} then null {arms} end as lang, "
+        f"case when {null_when} then null else {score} end as score "
+        f"from ({inner})"
+    )
+
+
 # ----------------------------------------------------------- stub tokenizer
 def strip_accents(text: str) -> str:
     """NFD-decompose and drop combining marks (reference N4,

@@ -173,6 +173,46 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 
     return hashed.join(keepers, on=[id_col], how="left_semi").drop("_bucket")
 
 
+def lsh_then_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """THE 100 TB near-dup shape: MinHash LSH banding prunes the pair space,
+    then exact n-gram Jaccard verifies ONLY the banded candidates. No
+    all-pairs anywhere: the wide shuffles are the band-key join (short keys)
+    and two id-equi-joins fetching the candidates' distinct-shingle arrays.
+    ngram_jaccard_pairs (raw shared-shingle self-join, quadratic within
+    shingle buckets) remains as the exactness baseline only."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sigs, id_col, num_bands, num_hashes // num_bands)
+    with_toks = df.select(
+        F.col(id_col), F.split(normalize_for_dedup_expr(F.col(text_col)), "\\s+").alias("_toks")
+    )
+    sh = with_toks.select(
+        F.col(id_col),
+        F.array_distinct(hashing.word_shingles_expr(F.col("_toks"), n=shingle_n)).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    # shingle-less docs band-match via the 'z' sentinel signature: define
+    # their jaccard as 0 (below any threshold) instead of dividing by zero
+    jac = F.when(union > 0, F.round(inter / union, 4)).otherwise(F.lit(0.0))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs found via shared
     shingles: explode shingles, self-join on shingle, count shared, compute

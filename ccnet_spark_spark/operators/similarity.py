@@ -73,6 +73,22 @@ def with_lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]], out_
     return df.withColumn(out_col, F.concat(*bits))
 
 
+def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of with_lsh_bucket: same plane literals (hyperplanes() is
+    deterministic and 6dp-rounded, so both engines parse identical doubles),
+    same sign-bit concatenation. Makes the LSH-bucketed ANN/near-dup shapes
+    fully oracle-checkable rather than rows-only."""
+    bits = []
+    for p in planes:
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec_expr}) + 1), "
+            f"i -> cast(list_extract({vec_expr}, i) as double) * list_extract({lit}, i)))"
+        )
+        bits.append(f"case when {dot} >= 0 then '1' else '0' end")
+    return "concat(" + ", ".join(bits) + ")"
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10, n_planes: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
     """ANN: candidates share the query's LSH bucket; exact cosine re-rank
     within bucket. Recall < 1 by construction (scale path; brute_force_topk
