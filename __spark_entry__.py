@@ -33,6 +33,7 @@ from ccnet_spark_spark.functions.normalize import (
 )
 from ccnet_spark_spark.functions.scrub import scrub_expr, scrub_sql
 from ccnet_spark_spark.operators import bucket as bucket_op
+from ccnet_spark_spark.operators import chunk as chunk_op
 from ccnet_spark_spark.operators import dedup, perplexity, similarity, tokenize
 
 MIN_LEN_DOCS = 280  # documents are shorter than captions; same operator
@@ -342,6 +343,21 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_rep_ratio(spark, sf_dir):
+    # within-doc repetition quality signal (word + bigram 1-distinct/total)
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        textstats.repetition_ratio_expr("text", n=1).alias("rep_words"),
+        textstats.repetition_ratio_expr("text", n=2).alias("rep_bigrams"),
+    )
+
+
+def q_chunks(spark, sf_dir):
+    # training-window chunking: 32-token chunks, 8-token overlap (map-only)
+    return chunk_op.chunk_text(_docs(spark, sf_dir), "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
 def q_scrub(spark, sf_dir):
     # PII/toxicity regex scrub chain
     return _docs(spark, sf_dir).select("doc_id", scrub_expr(F.col("text")).alias("scrubbed"))
@@ -361,6 +377,14 @@ def q_minhash_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
     return dedup.minhash_lsh_candidates(sigs, "doc_id", num_bands=4, rows_per_band=2)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    # the LSH dedup itself (not just the candidate pairs): any doc sharing a
+    # band with a smaller-id doc is dropped; survivors returned
+    return dedup.minhash_lsh_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", num_hashes=8, num_bands=4, shingle_n=3
+    ).select("doc_id", "lang")
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -648,9 +672,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _wrap(q_fingerprint),
         "token_counts": _wrap(q_token_counts),
         "quality": _wrap(q_quality),
+        "rep_ratio": _wrap(q_rep_ratio),
+        "chunks": _wrap(q_chunks),
         "scrub": _wrap(q_scrub),
         "minhash_bands": _wrap(q_minhash_bands),
         "minhash_pairs": _wrap(q_minhash_pairs),
+        "minhash_dedup": _wrap(q_minhash_dedup),
         "jaccard_pairs": _wrap(q_jaccard_pairs),
         "lsh_then_jaccard": _wrap(q_lsh_then_jaccard),
         "ann_topk": _wrap(q_ann_topk),
@@ -775,11 +802,22 @@ def oracle_sql() -> dict[str, str]:
             f"round({textstats.punct_ratio_sql('text')}, 4) as punct_ratio, "
             f"{textstats.quality_score_sql('text')} as quality from documents"
         ),
+        "rep_ratio": (
+            f"select doc_id, {textstats.repetition_ratio_sql('text', 1)} as rep_words, "
+            f"{textstats.repetition_ratio_sql('text', 2)} as rep_bigrams from documents"
+        ),
+        "chunks": chunk_op.chunk_text_sql("documents", "doc_id", "text", chunk_tokens=32, overlap=8),
         "scrub": f"select doc_id, {scrub_sql('text')} as scrubbed from documents",
         "minhash_bands": f"{sig_cte} select doc_id, band_key from bands",
         "minhash_pairs": (
             f"{sig_cte} select distinct a.doc_id as id_a, b.doc_id as id_b "
             "from bands a join bands b using (band_key) where a.doc_id < b.doc_id"
+        ),
+        "minhash_dedup": (
+            f"{sig_cte} "
+            "select doc_id, lang from documents where doc_id not in ("
+            "select distinct b.doc_id from bands a join bands b using (band_key) "
+            "where a.doc_id < b.doc_id)"
         ),
         "lsh_then_jaccard": (
             f"{sig_cte}, "

@@ -76,6 +76,33 @@ def stopword_ratio_sql(expr: str) -> str:
     )
 
 
+def repetition_ratio_expr(col: Column | str, n: int = 1) -> Column:
+    """Within-document repetition: 1 - distinct/total over word n-grams
+    (n=1: words). cc_net-style quality signal — boilerplate-heavy docs score
+    high. Pure built-ins; 0.0 for docs with no n-grams."""
+    from .hashing import word_shingles_expr
+
+    toks = F.split(F.lower(F.trim(_c(col))), "\\s+")
+    units = toks if n == 1 else word_shingles_expr(toks, n)
+    total = F.size(units)
+    ratio = F.when(total > 0, 1 - F.size(F.array_distinct(units)) / total).otherwise(F.lit(0.0))
+    return F.round(ratio, 4)
+
+
+def repetition_ratio_sql(expr: str, n: int = 1) -> str:
+    toks = f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
+    if n == 1:
+        units = toks
+    else:
+        gram = " || ' ' || ".join(f"list_extract({toks}, i + {j + 1})" for j in range(n))
+        units = f"list_transform(range(0, greatest(len({toks}) - {n - 1}, 0)), i -> {gram})"
+    return (
+        f"round(case when len({units}) > 0 then "
+        f"1 - len(list_distinct({units})) / cast(len({units}) as double) "
+        f"else 0.0 end, 4)"
+    )
+
+
 def quality_score_expr(col: Column | str) -> Column:
     """Composite quality in [0,1]: length saturation x (1 - digit ratio)
     x (1 - punct ratio). Deterministic, SQL-twin below."""
