@@ -9,8 +9,11 @@ streaming twin of batch exact_dedup.
 
 (Spark's built-in dropDuplicates on streams needs a watermark to bound
 state and keeps whole rows; keyed boolean state is smaller and gives an
-explicit eviction hook — at 10^12 scale you would also set a state TTL
-via GroupStateTimeout.)
+explicit eviction hook.) At 10^12 scale unbounded state is the one thing
+that kills this job: ``ttl_ms`` arms ProcessingTimeTimeout eviction —
+each key's state expires ttl_ms after its LAST sighting (every duplicate
+refreshes the clock), trading exactness for bounded state the same way
+production dedup caches do.
 """
 
 from __future__ import annotations
@@ -29,29 +32,53 @@ OUTPUT_SCHEMA = "image_id string, caption string, hash_value string"
 STATE_SCHEMA = "seen boolean"
 
 
-def _dedup_fn(key: Any, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    seen = state.exists
-    out = []
-    for pdf in batches:
-        if seen or pdf.empty:
-            continue
-        out.append(pdf.head(1))  # first occurrence wins
-        seen = True
-    if out:
-        state.update((True,))
-        yield pd.concat(out)
+def _make_dedup_fn(ttl_ms: int | None):
+    def dedup_fn(key: Any, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # evicted: the hash may be emitted again later
+            return
+        seen = state.exists
+        out = []
+        for pdf in batches:
+            if seen or pdf.empty:
+                continue
+            out.append(pdf.head(1))  # first occurrence wins
+            seen = True
+        if out:
+            state.update((True,))
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.concat(out)
+        elif state.exists and ttl_ms:
+            state.setTimeoutDuration(ttl_ms)  # duplicate sighting refreshes TTL
+
+    return dedup_fn
 
 
-def streaming_exact_dedup(stream: DataFrame, id_col: str = "image_id", text_col: str = "caption") -> DataFrame:
+def streaming_exact_dedup(
+    stream: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """ttl_ms=None: exact forever-dedup (state grows with distinct hashes).
+    ttl_ms=N: state for a hash is dropped N ms of processing time after its
+    last sighting — bounded state, approximate beyond the TTL horizon.
+
+    Operational caveat (measured): with ProcessingTimeTimeout armed, Spark
+    runs a micro-batch EVERY trigger tick to check timeout clocks, so the
+    query never quiesces — use a processingTime trigger and monitor the
+    sink; Trigger.AvailableNow / processAllAvailable() will never return."""
     hashed = stream.select(
         F.col(id_col).alias("image_id"),
         F.col(text_col).alias("caption"),
         line_hash_expr(normalize_for_dedup_expr(F.col(text_col))).alias("hash_value"),
     )
+    timeout = GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
     return hashed.groupBy("hash_value").applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_fn(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
