@@ -402,6 +402,27 @@ def q_lsh_then_jaccard(spark, sf_dir):
     )
 
 
+def q_lsh_jaccard_xxhash(spark, sf_dir):
+    """The banded near-dup pipeline under the xxhash64 PRODUCTION hash, made
+    oracle-checkable by verifying at threshold 1.0: pairs with identical
+    distinct-shingle sets get identical MinHash signatures under ANY hash
+    (so they always band together), and only such pairs can round to
+    jaccard 1.0 — the output is hash-algorithm-invariant and the DuckDB
+    twin simply equi-joins on the sorted distinct-shingle set.
+
+    The documents table has no exact-shingle-set duplicate pairs, so the
+    query plants 20 (doc_id + 100000 copies) — the fast path must find
+    exactly those pairs, not merely agree on an empty set."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dedup.lsh_then_jaccard(
+        docs.union(dupes), "doc_id", "text",
+        num_hashes=8, num_bands=4, shingle_n=3, threshold=1.0, algo="xxhash64",
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     # brute-force cosine top-k (exact ANN baseline)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -680,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _wrap(q_minhash_dedup),
         "jaccard_pairs": _wrap(q_jaccard_pairs),
         "lsh_then_jaccard": _wrap(q_lsh_then_jaccard),
+        "lsh_jaccard_xxhash": _wrap(q_lsh_jaccard_xxhash),
         "ann_topk": _wrap(q_ann_topk),
         "emb_neardup_lsh": _wrap(q_emb_neardup_lsh),
         "cosine_neardup": _wrap(q_cosine_neardup),
@@ -716,9 +738,12 @@ def oracle_sql() -> dict[str, str]:
     sig_cte = (
         f"with sigs as (select doc_id, {minhash8} as sig from "
         f"(select doc_id, {shingles} as sh from (select doc_id, {toks_norm} as toks from documents))), "
+        # '|' separates hash values inside a band key: unseparated int64
+        # concatenation would alias e.g. (1,23) with (12,3) on the xxhash
+        # fast path, so both engines use the separated form
         "bands as (select doc_id, unnest(["
-        "'0|' || sig[1] || sig[2], '1|' || sig[3] || sig[4], "
-        "'2|' || sig[5] || sig[6], '3|' || sig[7] || sig[8]]) as band_key from sigs)"
+        "'0|' || sig[1] || '|' || sig[2], '1|' || sig[3] || '|' || sig[4], "
+        "'2|' || sig[5] || '|' || sig[6], '3|' || sig[7] || '|' || sig[8]]) as band_key from sigs)"
     )
     cutoffs = _cutoffs()
     fp_toks = "string_split(text, ' ')"
@@ -832,6 +857,17 @@ def oracle_sql() -> dict[str, str]:
             "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) end as jaccard "
             "from cand join shl sa on sa.doc_id = id_a join shl sb on sb.doc_id = id_b) "
             "where jaccard >= 0.5"
+        ),
+        "lsh_jaccard_xxhash": (
+            # hash-invariant twin: identical sorted distinct-shingle sets
+            "with corpus as (select doc_id, text from documents "
+            "union all select doc_id + 100000 as doc_id, text from documents where doc_id < 20), "
+            "shl as (select doc_id, list_sort(list_distinct("
+            + shingles.replace("toks", toks_norm)
+            + ")) as sh from corpus) "
+            "select a.doc_id as id_a, b.doc_id as id_b, cast(1.0 as double) as jaccard "
+            "from shl a join shl b on a.sh = b.sh "
+            "where a.doc_id < b.doc_id and len(a.sh) > 0"
         ),
         "jaccard_pairs": (
             "with sh as (select doc_id, unnest(list_distinct("

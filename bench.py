@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "jaccard_pairs",
     "lsh_then_jaccard",
+    "lsh_jaccard_xxhash",
     "ann_topk",
     "emb_neardup_lsh",
     "events_window",

@@ -75,11 +75,15 @@ def minhash_sql(shingles_expr: str, num_hashes: int = 16) -> str:
 
 def band_keys_expr(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     """LSH banding: array of 'bandIdx|h1h2...' strings; docs sharing any band
-    key are candidate near-duplicates."""
+    key are candidate near-duplicates. Signature elements may be hex strings
+    (sha2 path) or int64 (xxhash64 fast path) — cast to string either way."""
     bands = []
     for b in range(num_bands):
-        parts = [F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        bands.append(F.concat_ws("", F.lit(f"{b}|"), *parts))
+        parts = [
+            F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        bands.append(F.concat_ws("|", F.lit(str(b)), *parts))
     return F.array(*bands)
 
 

@@ -105,7 +105,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.join(keepers, on=[id_col], how="left_semi").drop("_h")
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3, algo: str = "sha2") -> DataFrame:
     """Explode shingles -> per-seed hash columns -> groupBy(id).min.
 
     Deliberately NOT a nested array expression (transform-inside-transform):
@@ -113,24 +113,33 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_hashes: in
     transform, exploding codegen size and recomputing the tokenizer per
     element. The explode+agg form materializes each shingle once, gets
     map-side partial min aggregation, and shuffles only (id, 8x8-byte mins).
-    Docs with no shingles get a 'z' sentinel signature (shorter than
-    shingle_n words)."""
+    Docs with no shingles get a sentinel signature (shorter than
+    shingle_n words).
+
+    algo='sha2' (default): hex-prefix signatures, reproducible in DuckDB for
+    the oracle gate. algo='xxhash64': the PRODUCTION fast path — one JVM
+    xxhash64 per (seed, shingle) instead of a full sha256 + hex, int64
+    signatures, several times cheaper on the dominant stage of the near-dup
+    plan. For identical shingle sets the two algos band identically, which
+    is what makes the fast path oracle-checkable on exact-dup labels."""
     with_toks = df.select(
         F.col(id_col), F.split(normalize_for_dedup_expr(F.col(text_col)), "\\s+").alias("_toks")
     )
     sh = hashing.word_shingles_expr(F.col("_toks"), n=shingle_n)
     exploded = with_toks.select(F.col(id_col), F.explode_outer(sh).alias("_shingle"))
-    mins = [
-        F.min(
-            F.when(
-                F.col("_shingle").isNotNull(),
-                F.substring(F.sha2(F.concat(F.lit(f"{s}:"), F.col("_shingle")), 256), 1, 8),
-            )
-        ).alias(f"_mh{s}")
-        for s in range(num_hashes)
-    ]
+    present = F.col("_shingle").isNotNull()
+    if algo == "xxhash64":
+        per_seed = [F.xxhash64(F.lit(s), F.col("_shingle")) for s in range(num_hashes)]
+        sentinel = F.lit(2**63 - 1)  # > any real hash; typed long
+    else:
+        per_seed = [
+            F.substring(F.sha2(F.concat(F.lit(f"{s}:"), F.col("_shingle")), 256), 1, 8)
+            for s in range(num_hashes)
+        ]
+        sentinel = F.lit("z")  # > any hex char
+    mins = [F.min(F.when(present, h)).alias(f"_mh{s}") for s, h in enumerate(per_seed)]
     agged = exploded.groupBy(id_col).agg(*mins)
-    sig = F.array(*[F.coalesce(F.col(f"_mh{s}"), F.lit("z")) for s in range(num_hashes)])
+    sig = F.array(*[F.coalesce(F.col(f"_mh{s}"), sentinel) for s in range(num_hashes)])
     return agged.select(id_col, sig.alias("signature"))
 
 
@@ -149,12 +158,13 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str, num_bands: int = 4, row
     )
 
 
-def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, num_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, num_bands: int = 4, shingle_n: int = 3, algo: str = "sha2") -> DataFrame:
     """Near-dup removal: any doc that shares an LSH band with a smaller-id
     doc is dropped (union-find-free approximation: min-id wins per pair).
     At 100 TB the band groupBy is the only wide shuffle; band keys are
-    short strings, signatures never leave the narrow plan."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    short strings, signatures never leave the narrow plan.
+    algo='xxhash64' is the production fast path (see minhash_signatures)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, algo=algo)
     pairs = minhash_lsh_candidates(sigs, id_col, num_bands, num_hashes // num_bands)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=[id_col], how="left_anti")
@@ -181,14 +191,16 @@ def lsh_then_jaccard(
     num_bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    algo: str = "sha2",
 ) -> DataFrame:
     """THE 100 TB near-dup shape: MinHash LSH banding prunes the pair space,
     then exact n-gram Jaccard verifies ONLY the banded candidates. No
     all-pairs anywhere: the wide shuffles are the band-key join (short keys)
     and two id-equi-joins fetching the candidates' distinct-shingle arrays.
     ngram_jaccard_pairs (raw shared-shingle self-join, quadratic within
-    shingle buckets) remains as the exactness baseline only."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    shingle buckets) remains as the exactness baseline only.
+    algo='xxhash64' is the production fast path (see minhash_signatures)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, algo=algo)
     cand = minhash_lsh_candidates(sigs, id_col, num_bands, num_hashes // num_bands)
     with_toks = df.select(
         F.col(id_col), F.split(normalize_for_dedup_expr(F.col(text_col)), "\\s+").alias("_toks")

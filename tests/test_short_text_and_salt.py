@@ -76,3 +76,35 @@ def test_salted_repartition_is_deterministic(spark):
     b = salted_repartition(df, 16, "lang", salt_buckets=32).rdd.glom().collect()
     as_sets = lambda parts: [sorted(r["id"] for r in p) for p in parts]  # noqa: E731
     assert as_sets(a) == as_sets(b)  # identical partition assignment on re-run
+
+
+def test_minhash_xxhash_fast_path(spark):
+    """The xxhash64 production path: int64 signatures, identical banding for
+    identical shingle sets (exact dups always found), sentinel for
+    shingle-less docs."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two three four five six"),
+            ("b", "one two three four five six"),  # exact dup of a
+            ("c", "totally different words here altogether now"),
+            ("d", "xy"),  # shingle-less
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, algo="xxhash64")
+    assert dict(sigs.dtypes)["signature"] == "array<bigint>"
+    rows = {r["doc_id"]: r["signature"] for r in sigs.collect()}
+    assert rows["a"] == rows["b"]
+    assert rows["a"] != rows["c"]
+    assert all(v == 2**63 - 1 for v in rows["d"])  # sentinel
+    pairs = dedup.lsh_then_jaccard(
+        docs, "doc_id", "text", num_hashes=8, num_bands=4, threshold=1.0, algo="xxhash64"
+    ).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [("a", "b", 1.0)]
+    survivors = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_lsh_dedup(docs, "doc_id", "text", num_hashes=8, algo="xxhash64").collect()
+    )
+    assert "a" in survivors and "b" not in survivors  # min-id wins
