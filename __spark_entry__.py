@@ -605,7 +605,10 @@ def q_pairs_pipeline(spark, sf_dir):
 
 
 def q_image_stats(spark, sf_dir):
-    """Multimodal: decode binary payloads (mapInPandas) -> channel stats."""
+    """Multimodal: decode binary payloads (mapInPandas) -> channel stats.
+    Rows-only in the driver gate (DuckDB can't decode the codecs), but
+    value-checked against the pure-pandas oracle + stored-phash roundtrip
+    in tests/test_image_stats_oracle.py."""
     from ccnet_spark_spark.operators.multimodal import image_stats
     from ccnet_spark_spark.synth import generate_pairs
 
