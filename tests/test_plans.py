@@ -102,3 +102,35 @@ def test_partition_prune_on_result(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "lang" in seg and "bucket" in seg
+
+
+def test_no_contract_query_plans_cartesian(spark):
+    """Structural guard over the WHOLE contract surface: no queries() entry
+    may plan a CartesianProduct or BroadcastNestedLoopJoin — except
+    cosine_neardup, the explicitly-labeled bounded exactness baseline.
+    Streaming/pipeline entries that execute on build are skipped (they are
+    covered by their own tests); plan construction at sf0.001 is cheap."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    skip = {
+        "cosine_neardup",   # labeled cartesian baseline (bounded 200x200)
+        "ann_topk",         # brute-force BY DESIGN: corpus x broadcast(small
+                            # query set) IS a BroadcastNestedLoopJoin; the
+                            # corpus never shuffles, the NLJ side is tiny
+        "streaming_dedup",  # executes a stream on build
+        "pairs_pipeline",   # generator + full pipeline, covered elsewhere
+        "image_stats",      # generator-driven
+        "ivf_ann",          # driver-side k-means sample on build
+    }
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in em.queries().items():
+        if name in skip:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders[name] = True
+    assert not offenders, f"cartesian/nested-loop joins in: {sorted(offenders)}"
