@@ -36,6 +36,20 @@ def iceberg_configured() -> bool:
     return bool(jars) or bool(os.environ.get("SPARK_GRAFT_ICEBERG_JAR"))
 
 
+def _resolve_master(cores: int | str | None, submitted_has_master: bool) -> tuple[str | None, int | None]:
+    """(master-to-set-or-None, local core count-or-None). Explicit cores (arg
+    or SPARK_GRAFT_CPUS) force local[N]; else a spark-submit master is
+    inherited (None = don't call .master() — overriding it would silently
+    downgrade a cluster job to single-JVM local mode); else local[*]."""
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is not None or not submitted_has_master:
+        master = f"local[{cores if cores is not None else '*'}]"
+        n_cores = os.cpu_count() or 8 if cores in ("*", None) else int(cores)
+        return master, n_cores
+    return None, None  # inherit the submitted master
+
+
 def get_spark(
     app_name: str = "ccnet_spark_spark",
     cores: int | str | None = None,
@@ -58,14 +72,7 @@ def get_spark(
     from pyspark import SparkConf
 
     submitted = SparkConf()  # loads spark.* system properties set by spark-submit
-    if cores is None:
-        cores = os.environ.get("SPARK_GRAFT_CPUS")
-    if cores is not None or not submitted.contains("spark.master"):
-        master = f"local[{cores if cores is not None else '*'}]"
-        n_cores = os.cpu_count() or 8 if cores in ("*", None) else int(cores)
-    else:
-        master = None  # inherit the submitted master
-        n_cores = None
+    master, n_cores = _resolve_master(cores, submitted.contains("spark.master"))
     if shuffle_partitions is None and n_cores is not None:
         # ~cores for local runs; a real cluster submit sets its own
         # (rule of thumb: 2-3x total executor cores, or rely on AQE coalesce).
