@@ -502,6 +502,45 @@ def q_cube_rollup(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark, sf_dir):
+    # pivot breadth: per-user event-type counts (explicit value list keeps
+    # the plan a single pass; absent cells coalesced to 0 to match SQL
+    # conditional aggregation)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return p.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    # JSON breadth: extract props.k per row + rollup avg per event type
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_distinct_counts(spark, sf_dir):
+    # exact count-distinct per group (the HLL approx variant is
+    # approx_count_distinct — not oracle-reproducible, so exact here)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_event_stats(spark, sf_dir):
     # numeric aggregate breadth: avg/stddev/min/max per event type
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -712,6 +751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _wrap(q_set_ops),
         "sessionize": _wrap(q_sessionize),
         "cube_rollup": _wrap(q_cube_rollup),
+        "pivot_events": _wrap(q_pivot_events),
+        "json_extract": _wrap(q_json_extract),
+        "distinct_counts": _wrap(q_distinct_counts),
         "event_stats": _wrap(q_event_stats),
         "quantiles": _wrap(q_quantiles),
         "star_join": _wrap(q_star_join),
@@ -959,6 +1001,22 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(l_quantity), 4) as avg_qty, count(*) as count_order "
             "from lineitem where l_shipdate <= date '1998-09-02' "
             "group by l_returnflag, l_linestatus"
+        ),
+        "pivot_events": (
+            "select user_id, "
+            + ", ".join(
+                f"count(*) filter (where event_type = '{t}') as {t}" for t in _EVENT_TYPES
+            )
+            + " from events group by user_id"
+        ),
+        "json_extract": (
+            "select event_type, round(avg(cast(json_extract_string(props, '$.k') as bigint)), 4) as avg_k, "
+            "cast(max(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as max_k, "
+            "count(*) as n from events group by event_type"
+        ),
+        "distinct_counts": (
+            "select event_type, cast(count(distinct user_id) as bigint) as n_users, "
+            "count(*) as n_events from events group by event_type"
         ),
         "event_stats": (
             "select event_type, count(*) as n, round(avg(value), 4) as avg_value, "
