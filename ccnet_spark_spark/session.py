@@ -36,6 +36,28 @@ def iceberg_configured() -> bool:
     return bool(jars) or bool(os.environ.get("SPARK_GRAFT_ICEBERG_JAR"))
 
 
+def _submitted_conf():
+    """SparkConf carrying whatever spark-submit configured.
+
+    Subtle but load-bearing: ``SparkConf()`` before the py4j gateway exists
+    is a PURE-PYTHON empty conf — under spark-submit it would report no
+    spark.master and get_spark would silently override the cluster master
+    with local mode (verified: spark-submit --master local[3] resolved to
+    local[*] without this). Initializing the gateway first attaches to the
+    JVM spark-submit already launched (env PYSPARK_GATEWAY_PORT), whose
+    system properties carry --master/--conf; in a plain python launch it
+    spawns the same JVM getOrCreate() would, so nothing extra is paid."""
+    from pyspark import SparkConf
+
+    try:
+        from pyspark.core.context import SparkContext
+
+        SparkContext._ensure_initialized()
+    except Exception:
+        pass  # Connect-only or future API drift: fall back to python conf
+    return SparkConf()
+
+
 def _resolve_master(cores: int | str | None, submitted_has_master: bool) -> tuple[str | None, int | None]:
     """(master-to-set-or-None, local core count-or-None). Explicit cores (arg
     or SPARK_GRAFT_CPUS) force local[N]; else a spark-submit master is
@@ -69,9 +91,7 @@ def get_spark(
     (driver memory in particular is only meaningful pre-JVM-launch and must
     stay under spark-submit's control on a cluster).
     """
-    from pyspark import SparkConf
-
-    submitted = SparkConf()  # loads spark.* system properties set by spark-submit
+    submitted = _submitted_conf()
     master, n_cores = _resolve_master(cores, submitted.contains("spark.master"))
     if shuffle_partitions is None and n_cores is not None:
         # ~cores for local runs; a real cluster submit sets its own
