@@ -155,3 +155,58 @@ def test_iceberg_partition_spec_construction(spark):
     df = generate_pairs(spark, 3).withColumn("bucket", F.lit("head")).withColumn("lang", F.lit("en"))
     writer = df.writeTo("local.db.pairs_result").using("iceberg").partitionedBy(*parts)
     assert writer is not None
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event older than the watermark arriving in a LATER micro-batch
+    must be discarded: the already-emitted window's count may not change,
+    and the late row may not spawn a duplicate window row (append mode)."""
+    from ccnet_spark_spark.streaming.events import windowed_event_counts
+
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    sink = str(tmp_path / "wm_sink")
+    os.makedirs(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).parquet(src)
+        q = (
+            windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+            .selectExpr("window.start as window_start", "event_type", "n", "total_value")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(sink).toPandas()
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)  # noqa: E731
+    # window A = [10:00, 10:05); the 10:30 event advances the watermark to
+    # 10:20, closing A -> emitted with n=2
+    write_batch([(1, t(0), "click", 1.0), (2, t(2), "click", 1.0), (3, t(30), "click", 1.0)])
+    got1 = run_once()
+    a1 = got1[got1["window_start"] == t(0)]
+    assert len(a1) == 1 and int(a1["n"].iloc[0]) == 2
+
+    # batch 2: a LATE event for window A (10:01 << watermark 10:20) must be
+    # dropped; the 11:00 event closes the 10:30 window
+    write_batch([(4, t(1), "click", 99.0), (5, dt.datetime(2026, 1, 1, 11, 0), "click", 1.0)])
+    got2 = run_once()
+    a2 = got2[got2["window_start"] == t(0)]
+    assert len(a2) == 1 and int(a2["n"].iloc[0]) == 2  # unchanged, no dup row
+    assert float(a2["total_value"].iloc[0]) == 2.0  # late value NOT added
+    b = got2[got2["window_start"] == t(30)]
+    assert len(b) == 1 and int(b["n"].iloc[0]) == 1
