@@ -45,14 +45,22 @@ def _submitted_conf():
     with local mode (verified: spark-submit --master local[3] resolved to
     local[*] without this). Initializing the gateway first attaches to the
     JVM spark-submit already launched (env PYSPARK_GATEWAY_PORT), whose
-    system properties carry --master/--conf; in a plain python launch it
-    spawns the same JVM getOrCreate() would, so nothing extra is paid."""
+    system properties carry --master/--conf.
+
+    ...but ONLY attach, never spawn: in a plain python launch,
+    _ensure_initialized would start the JVM BEFORE the builder sets
+    spark.driver.memory, which is pre-launch-only — the driver would
+    silently run on the 1g default heap and OOM on real inputs (verified:
+    the 480k-pair pipeline OOMed exactly this way). So the gateway is
+    touched only when spark-submit already created it (PYSPARK_GATEWAY_PORT
+    in the env) or a context already exists in-process."""
     from pyspark import SparkConf
 
     try:
         from pyspark.core.context import SparkContext
 
-        SparkContext._ensure_initialized()
+        if SparkContext._gateway is not None or "PYSPARK_GATEWAY_PORT" in os.environ:
+            SparkContext._ensure_initialized()
     except Exception:
         pass  # Connect-only or future API drift: fall back to python conf
     return SparkConf()
