@@ -628,6 +628,58 @@ def q_ccnet_chain(spark, sf_dir):
     )
 
 
+MLINE_MIN_LEN = 900  # 3-doc groups are ~3x longer than single documents
+
+
+def q_ccnet_chain_lines(spark, sf_dir):
+    """ccnet_chain with REAL multi-line dedup semantics: documents are
+    single-line, so the plain chain exercises line dedup only degenerately.
+    Here 3 consecutive SAME-LANGUAGE documents become one 3-line doc, and
+    30 documents are planted a second time into other groups so global line
+    dedup genuinely fires: the oracle checks cross-document repeated LINES
+    deduped globally (keep-min owner), regroup producing nlines < 3 for the
+    losers, and tokenize/pp/bucket/scrub/verdict over the partially-deduped
+    text. The driver's documents use a topic wordlist the stub LID
+    (correctly) can't classify, so this variant exercises the pipeline's
+    PRE-LABELED path (Config.lang_col — externally-supplied language) while
+    plain ccnet_chain keeps covering the LID path incl. its null outcome.
+    Grouping is deterministic in both engines: row_number within language
+    ordered by doc_id, 3 per group."""
+    from ccnet_spark_spark.plans.pipeline import ALL_STEPS, Config, Pipeline
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    planted = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+    )
+    corpus = docs.union(planted)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    gid = F.concat_ws("#", "lang", F.floor((F.row_number().over(w) - 1) / 3).cast("string"))
+    mdocs = (
+        corpus.withColumn("gid", gid)
+        .groupBy(F.col("gid").alias("doc_id"), "lang")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "text"))).alias("_g"))
+        .select("doc_id", "lang", F.concat_ws("\n", F.col("_g.text")).alias("text"))
+    )
+    cfg = Config(
+        min_len=MLINE_MIN_LEN,
+        cutoffs=_cutoffs(),
+        lang_col="lang",
+        steps=[s for s in ALL_STEPS if s != "lid"],
+    )
+    out = Pipeline(spark, cfg).run(mdocs, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("perplexity").cast("double"), 1).alias("pp"),
+        "bucket",
+        F.col("nlines").cast("double").alias("nlines"),
+        F.col("length").cast("double").alias("length"),
+        "scrubbed_caption",
+        "keep",
+        "drop_reason",
+    )
+
+
 # ------------------------------------------------ rows-only (no SQL oracle)
 def q_pairs_pipeline(spark, sf_dir):
     """Full image+caption pipeline on 400 deterministic synthetic pairs:
@@ -759,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": _wrap(q_star_join),
         "pricing_summary": _wrap(q_pricing_summary),
         "ccnet_chain": _wrap(q_ccnet_chain),
+        "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
         "image_stats": _wrap(q_image_stats),
         "simhash": _wrap(q_simhash),
@@ -1029,7 +1082,53 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(n_chars, 0.75), 4) as p75 from documents group by lang"
         ),
         "ccnet_chain": _ccnet_chain_sql(cutoffs),
+        "ccnet_chain_lines": _ccnet_chain_lines_sql(cutoffs),
     }
+
+
+def _ccnet_chain_lines_sql(cutoffs: dict[str, tuple[float, float]]) -> str:
+    """DuckDB twin of q_ccnet_chain_lines: same-language 3-doc groups (with
+    30 planted duplicates) -> explode on newline -> global line dedup_keep
+    -> regroup -> pre-labeled lang (from the group key; mirrors
+    Config.lang_col incl. the stub tokenizer's known-vocabulary guard) ->
+    closed-form pp (the stub tokenizer flattens newlines, so the
+    single-line pp formula holds) -> bucket -> scrub -> verdict."""
+    line_hash = hashing.line_hash_sql(normalize_for_dedup_sql("line"))
+    vocab_list = ", ".join(f"'{lg}'" for lg in models_mod.LANGS)
+    return (
+        "with corpus as (select doc_id, lang, text from documents "
+        "union all select doc_id + 100000 as doc_id, lang, text from documents where doc_id < 30), "
+        "grouped as (select lang || '#' || cast((row_number() over (partition by lang order by doc_id) - 1) // 3 as varchar) as gid, "
+        "doc_id, text from corpus), "
+        "mdocs as (select gid as doc_id, string_agg(text, chr(10) order by doc_id) as text "
+        "from grouped group by gid), "
+        "base as (select doc_id, text, length(text) as original_length from mdocs), "
+        "lines as (select doc_id, generate_subscripts(arr, 1) - 1 as line_id, unnest(arr) as line "
+        f"from (select doc_id, string_split(text, chr(10)) as arr from base "
+        f"where original_length >= {MLINE_MIN_LEN})), "
+        f"hashed as (select doc_id, line_id, line, {line_hash} as hv from lines), "
+        "kept as (select doc_id, line_id, line from hashed "
+        "qualify row_number() over (partition by hv order by doc_id, line_id) = 1), "
+        "regrouped as (select doc_id, string_agg(line, chr(10) order by line_id) as dedup_caption, "
+        "count(*) as nlines from kept group by doc_id), "
+        "lid as (select doc_id, nlines, dedup_caption, split_part(doc_id, '#', 1) as lang from regrouped), "
+        "pp as (select doc_id, nlines, dedup_caption, lang, "
+        f"case when lang in ({vocab_list}) then {_pp_sql('dedup_caption')} end as pp from lid), "
+        "enriched as (select doc_id, nlines, dedup_caption, lang, pp, "
+        + bucket_op.bucket_case_sql("pp", "lang", cutoffs)
+        + " as bucket from pp) "
+        "select doc_id, lang, pp, bucket, nlines, length, scrubbed_caption, "
+        "drop_reason is null as keep, drop_reason from ("
+        "select b.doc_id, e.lang, e.pp, coalesce(e.bucket, 'all') as bucket, "
+        "cast(e.nlines as double) as nlines, "
+        "cast(length(e.dedup_caption) as double) as length, "
+        + scrub_sql("coalesce(e.dedup_caption, b.text)")
+        + " as scrubbed_caption, "
+        f"case when coalesce(b.original_length < {MLINE_MIN_LEN}, true) then 'too_short' "
+        "when e.doc_id is null or length(e.dedup_caption) = 0 then 'dup_lines_all' "
+        "when e.lang is null then 'lid_null' end as drop_reason "
+        "from base b left join enriched e using (doc_id))"
+    )
 
 
 def _ccnet_chain_sql(cutoffs: dict[str, tuple[float, float]]) -> str:

@@ -58,6 +58,10 @@ class Config:
     hash_algo: str = "sha2"  # "sha2" (oracle-reproducible) | "xxhash64" (fast path)
     lid_model_path: str | None = None
     lid_threshold: float = 0.5
+    # when 'lid' is NOT in steps, take language labels from this input
+    # column instead (pre-labeled corpora / externally-run LID) — the
+    # tokenize/LM/bucket stages need a lang either way
+    lang_col: str | None = None
     lm_dir: str | None = None
     selected_langs: list[str] | None = None
     cutoffs: dict[str, tuple[float, float]] | None = None
@@ -105,6 +109,15 @@ class Pipeline:
         )
         if "lid" in cfg.steps:
             enriched = lid.with_lang(enriched, "dedup_caption", cfg.lid_model_path, cfg.lid_threshold)
+            n_parts = cfg.salt_partitions or self.spark.sparkContext.defaultParallelism
+            enriched = lid.salted_repartition(enriched, n_parts, "lang", id_col=id_col)
+        elif cfg.lang_col:
+            # pre-labeled corpus: join the input's language column in place
+            # of LID output (same skew treatment as the LID path)
+            src = f"src_{cfg.lang_col}" if f"src_{cfg.lang_col}" in df.columns else cfg.lang_col
+            enriched = enriched.join(
+                df.select(id_col, F.col(src).alias("lang")), on=id_col, how="left"
+            )
             n_parts = cfg.salt_partitions or self.spark.sparkContext.defaultParallelism
             enriched = lid.salted_repartition(enriched, n_parts, "lang", id_col=id_col)
         if "sp" in cfg.steps and "lm" in cfg.steps and cfg.fuse_lm:
