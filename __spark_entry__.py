@@ -469,6 +469,54 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_events_window_stream(spark, sf_dir):
+    """events_window executed through Structured Streaming (readStream ->
+    watermarked window agg -> append-mode parquet sink) instead of batch —
+    and still DuckDB-oracle-checked: a far-future sentinel event in a
+    SECOND file (maxFilesPerTrigger=1 -> its own micro-batch) pushes the
+    watermark past every real window so append mode emits them all; the
+    sentinel's own window is filtered out. The oracle is the same batch SQL
+    as events_window — streaming execution must produce identical rows."""
+    import tempfile
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    src = tempfile.mkdtemp(prefix="qews_src")
+    sink = tempfile.mkdtemp(prefix="qews_sink")
+    ckpt = tempfile.mkdtemp(prefix="qews_ckpt")
+    ev.write.mode("append").parquet(src)
+    import datetime as dt
+
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=2), "__sentinel__", 0.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    from ccnet_spark_spark.streaming.events import windowed_event_counts
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+        .selectExpr("window.start as window_start", "event_type", "n", "total_value")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink).where(F.col("event_type") != "__sentinel__")
+
+
 def q_set_ops(spark, sf_dir):
     # union / except / intersect composition over doc subsets
     docs = _docs(spark, sf_dir)
@@ -800,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": _wrap(q_emb_neardup_lsh),
         "cosine_neardup": _wrap(q_cosine_neardup),
         "events_window": _wrap(q_events_window),
+        "events_window_stream": _wrap(q_events_window_stream),
         "set_ops": _wrap(q_set_ops),
         "sessionize": _wrap(q_sessionize),
         "cube_rollup": _wrap(q_cube_rollup),
@@ -1018,6 +1067,12 @@ def oracle_sql() -> dict[str, str]:
             "from scored qualify rank <= 5"
         ),
         "events_window": (
+            "select time_bucket(interval '5 minutes', ts) as window_start, event_type, "
+            "count(*) as n, round(sum(value), 2) as total_value from events group by 1, 2"
+        ),
+        # identical oracle on purpose: the streaming execution must emit
+        # exactly the batch result once the sentinel closes every window
+        "events_window_stream": (
             "select time_bucket(interval '5 minutes', ts) as window_start, event_type, "
             "count(*) as n, round(sum(value), 2) as total_value from events group by 1, 2"
         ),

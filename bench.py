@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "emb_neardup_lsh",
     "events_window",
     "ccnet_chain",
+    "ccnet_chain_lines",
 ]
 
 
