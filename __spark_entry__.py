@@ -589,6 +589,34 @@ def q_distinct_counts(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom operator, operators/asof.py): each purchase event
+    gains the most recent same-user click value at-or-before its timestamp.
+    The DuckDB twin uses the NATIVE ASOF LEFT JOIN — our union+carry-forward
+    composition is cross-validated against an independent implementation.
+    The right side is pre-aggregated to unique (user_id, ts) so equal-ts
+    duplicates can't make either engine's pick ambiguous."""
+    from ccnet_spark_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("click_value", 2).alias("last_click_value"),
+    )
+
+
 def q_event_stats(spark, sf_dir):
     # numeric aggregate breadth: avg/stddev/min/max per event type
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -852,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _wrap(q_set_ops),
         "sessionize": _wrap(q_sessionize),
         "cube_rollup": _wrap(q_cube_rollup),
+        "asof_join": _wrap(q_asof_join),
         "pivot_events": _wrap(q_pivot_events),
         "json_extract": _wrap(q_json_extract),
         "distinct_counts": _wrap(q_distinct_counts),
@@ -1109,6 +1138,14 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(l_quantity), 4) as avg_qty, count(*) as count_order "
             "from lineitem where l_shipdate <= date '1998-09-02' "
             "group by l_returnflag, l_linestatus"
+        ),
+        "asof_join": (
+            "with p as (select event_id, user_id, ts, value from events where event_type = 'purchase'), "
+            "c as (select user_id, ts, max(value) as click_value from events "
+            "where event_type = 'click' group by user_id, ts) "
+            "select p.event_id, p.user_id, p.ts, round(p.value, 2) as purchase_value, "
+            "round(c.click_value, 2) as last_click_value "
+            "from p asof left join c on p.user_id = c.user_id and p.ts >= c.ts"
         ),
         "pivot_events": (
             "select user_id, "
