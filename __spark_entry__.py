@@ -517,6 +517,17 @@ def q_events_window_stream(spark, sf_dir):
     return spark.read.parquet(sink).where(F.col("event_type") != "__sentinel__")
 
 
+def q_events_window_sliding(spark, sf_dir):
+    # sliding (overlapping) windows: each event lands in window_len/slide
+    # windows; the DuckDB twin expands the k offsets explicitly
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
 def q_set_ops(spark, sf_dir):
     # union / except / intersect composition over doc subsets
     docs = _docs(spark, sf_dir)
@@ -877,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _wrap(q_cosine_neardup),
         "events_window": _wrap(q_events_window),
         "events_window_stream": _wrap(q_events_window_stream),
+        "events_window_sliding": _wrap(q_events_window_sliding),
         "set_ops": _wrap(q_set_ops),
         "sessionize": _wrap(q_sessionize),
         "cube_rollup": _wrap(q_cube_rollup),
@@ -1104,6 +1116,15 @@ def oracle_sql() -> dict[str, str]:
         "events_window_stream": (
             "select time_bucket(interval '5 minutes', ts) as window_start, event_type, "
             "count(*) as n, round(sum(value), 2) as total_value from events group by 1, 2"
+        ),
+        "events_window_sliding": (
+            # 5-minute windows sliding by 1 minute: an event at ts belongs to
+            # the 5 windows starting at bucket(ts)-4m .. bucket(ts)
+            "select window_start, event_type, count(*) as n, "
+            "round(sum(value), 2) as total_value from ("
+            "select time_bucket(interval '1 minute', ts) - to_minutes(k) as window_start, "
+            "event_type, value from events, unnest(range(5)) as t(k)) "
+            "group by window_start, event_type"
         ),
         "set_ops": (
             "with en as (select doc_id from documents where lang = 'en'), "
