@@ -817,6 +817,19 @@ def q_ivf_ann(spark, sf_dir):
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=3)
 
 
+def q_ivf_exhaustive(spark, sf_dir):
+    """IVF with nprobe = n_centroids: probing EVERY cluster makes IVF
+    exactly equivalent to brute force regardless of how the sampled k-means
+    placed the centroids — so the whole IVF machinery (driver-trained
+    centroids, vectorized assignment UDF, probe explode, cluster equi-join,
+    exact re-rank) is oracle-checked against the brute-force SQL twin.
+    q_ivf_ann (nprobe < k) stays rows-only + pytest-quantified recall."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=8
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming exact-dedup (applyInPandasWithState), driven to
     completion with availableNow over a temp copy of documents."""
@@ -907,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _wrap(q_simhash),
         "lsh_ann": _wrap(q_lsh_ann),
         "ivf_ann": _wrap(q_ivf_ann),
+        "ivf_exhaustive": _wrap(q_ivf_exhaustive),
         "streaming_dedup": _wrap(q_streaming_dedup),
     }
 
@@ -1069,6 +1083,17 @@ def oracle_sql() -> dict[str, str]:
             "where round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.5"
         ),
         "ann_topk": (
+            "with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5), "
+            "scored as (select q.query_id, b.vec_id as neighbor_id, "
+            + cos.replace("a.embedding", "q.embedding")
+            + " as cosine from q, embeddings b where b.vec_id <> q.query_id) "
+            "select query_id, neighbor_id, "
+            "row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank, cosine "
+            "from scored qualify rank <= 5"
+        ),
+        # identical to ann_topk's oracle on purpose: IVF probing all
+        # clusters must equal brute force
+        "ivf_exhaustive": (
             "with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5), "
             "scored as (select q.query_id, b.vec_id as neighbor_id, "
             + cos.replace("a.embedding", "q.embedding")
