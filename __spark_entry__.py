@@ -831,18 +831,36 @@ def q_ivf_exhaustive(spark, sf_dir):
 
 
 def q_streaming_dedup(spark, sf_dir):
-    """Stateful streaming exact-dedup (applyInPandasWithState), driven to
-    completion with availableNow over a temp copy of documents."""
+    """Stateful streaming exact-dedup (applyInPandasWithState), driven with
+    availableNow over documents PLUS 40 duplicates written as a SECOND file
+    (maxFilesPerTrigger=1 -> the dups arrive in a later micro-batch, so the
+    keyed state must drop them across batches, not just within one).
+
+    Oracle-checked on the arrival-order-INVARIANT projection: which
+    survivor row is emitted per hash depends on arrival order, but the
+    emitted HASH SET must equal the distinct normalized-text hashes of the
+    input — exactly one row per hash, duplicates gone."""
     import tempfile
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("image_id"), F.col("text").alias("caption"))
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("image_id"), F.col("text").alias("caption")
+    )
     src = tempfile.mkdtemp(prefix="qsd_src")
     sink = tempfile.mkdtemp(prefix="qsd_sink")
     ckpt = tempfile.mkdtemp(prefix="qsd_ckpt")
-    docs.write.mode("overwrite").parquet(src)
+    docs.write.mode("append").parquet(src)
+    dups = _docs(spark, sf_dir).where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    dups.coalesce(1).write.mode("append").parquet(src)
     from ccnet_spark_spark.streaming.dedup import streaming_exact_dedup
 
-    stream = spark.readStream.schema("image_id string, caption string").parquet(src)
+    stream = (
+        spark.readStream.schema("image_id string, caption string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     q = (
         streaming_exact_dedup(stream)
         .writeStream.outputMode("append")
@@ -854,7 +872,7 @@ def q_streaming_dedup(spark, sf_dir):
     )
     q.processAllAvailable()
     q.stop()
-    return spark.read.parquet(sink)
+    return spark.read.parquet(sink).select("hash_value")
 
 
 def _wrap(fn):
@@ -1141,6 +1159,13 @@ def oracle_sql() -> dict[str, str]:
         "events_window_stream": (
             "select time_bucket(interval '5 minutes', ts) as window_start, event_type, "
             "count(*) as n, round(sum(value), 2) as total_value from events group by 1, 2"
+        ),
+        "streaming_dedup": (
+            # arrival-order-invariant projection: the emitted hash set must
+            # equal the distinct normalized-text hashes of docs + planted dups
+            "select distinct " + hashing.line_hash_sql(normalize_for_dedup_sql("text"))
+            + " as hash_value from (select text from documents "
+            "union all select text from documents where doc_id < 40)"
         ),
         "events_window_sliding": (
             # 5-minute windows sliding by 1 minute: an event at ts belongs to
