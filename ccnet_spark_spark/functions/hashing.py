@@ -37,6 +37,14 @@ def line_hash_py(text: str) -> str:
 
 
 # ------------------------------------------------------------------ MinHash
+# Signature sentinels for shingle-less docs (< n tokens): 'z' sorts after any
+# hex char; int64 max sorts after any xxhash64 min. Docs carrying a sentinel
+# signature are EXCLUDED from LSH banding (see operators/dedup.py
+# minhash_lsh_candidates) — they would otherwise all band-match each other.
+SENTINEL_SHA2 = "z"
+SENTINEL_XXHASH = 2**63 - 1
+
+
 def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array, as built-in expressions:
     transform(sequence(0, size-n), i -> concat_ws(' ', tokens[i..i+n-1])).
@@ -121,7 +129,10 @@ def make_simhash_udf():
 
 
 def hamming64_expr(a: Column, b: Column) -> Column:
-    return F.bit_count(F.bitwiseNOT(a.bitwiseXOR(b)).bitwiseXOR(F.lit(-1).cast("long")))
+    """Hamming distance between two 64-bit hashes: popcount of the XOR.
+    (bit_count counts set bits of the two's-complement representation, so
+    negative int64 values behave as their raw 64 bits — same as DuckDB.)"""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 # ------------------------------------------------------- document fingerprint

@@ -3,7 +3,7 @@ API lacks, expressed as a composition of existing operators instead of a
 UDF or a range cross-join:
 
     union(left, right) -> one shuffle by key -> per-key time sort ->
-    last(value, ignorenulls) carry-forward -> keep left rows.
+    last(struct(values), ignorenulls) carry-forward -> keep left rows.
 
 For each left row this attaches the most recent right-side values with
 right.ts <= left.ts for the same key. Cost is ONE hash shuffle + sort of
@@ -14,6 +14,14 @@ an independent implementation of the semantics (both are inclusive at
 equal timestamps; at equal right timestamps the carried row is the last in
 (ts, tiebreak) order, so pre-aggregate the right side to unique (key, ts)
 for fully deterministic results).
+
+All value columns are carried inside ONE struct, not per-column: a
+per-column last(ignorenulls) would skip a legitimate NULL in a matched
+right row and carry an OLDER row's value instead — and with several
+value_cols a single left row could end up with values mixed from different
+right rows. The struct itself is never null for right rows, so
+last(ignorenulls) picks exactly one matched right row and preserves any
+NULLs inside it — the same row-level semantics as a native as-of join.
 """
 
 from __future__ import annotations
@@ -39,7 +47,11 @@ def asof_join(
     if collide:
         raise ValueError(f"value_cols collide with left columns: {sorted(collide)}")
     l_tag = left.withColumn("_side", F.lit(1))
-    r_tag = right.select(on, ts_col, *value_cols).withColumn("_side", F.lit(0))
+    # one struct per right row: non-null even when every value inside is null,
+    # so the carry-forward matches whole rows, never mixes columns across rows
+    r_tag = right.select(
+        on, ts_col, F.struct(*[F.col(v) for v in value_cols]).alias("_rv")
+    ).withColumn("_side", F.lit(0))
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # right rows (_side=0) sort BEFORE left rows at equal ts -> inclusive
     w = (
@@ -47,6 +59,8 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    u = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1)
     for v in value_cols:
-        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return u.where(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(v, F.col(f"_rv.{v}"))
+    return out.drop("_side", "_rv")

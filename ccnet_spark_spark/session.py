@@ -57,7 +57,13 @@ def _submitted_conf():
     from pyspark import SparkConf
 
     try:
-        from pyspark.core.context import SparkContext
+        # 4.x module path first, then the 3.x path: a blanket failure here
+        # would silently re-introduce the cluster-master-downgrade bug on
+        # PySpark 3 clusters (ADVICE r2).
+        try:
+            from pyspark.core.context import SparkContext  # PySpark >= 4
+        except ImportError:
+            from pyspark.context import SparkContext  # PySpark 3.x
 
         if SparkContext._gateway is not None or "PYSPARK_GATEWAY_PORT" in os.environ:
             SparkContext._ensure_initialized()

@@ -31,6 +31,24 @@ def test_asof_backward_inclusive(spark):
     assert got[4] is None  # user 2 never clicked; user 3's rows don't leak
 
 
+def test_asof_null_values_come_from_matched_row(spark):
+    """A matched right row whose value is NULL must deliver that NULL (not an
+    older non-null value), and multi-column values must all come from the SAME
+    matched row — the struct carry-forward contract (ADVICE r2)."""
+    left = spark.createDataFrame(
+        [(1, 1, T(5), 0.0)], "event_id long, user_id long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, T(1), 10.0, "old"), (1, T(4), None, "new")],
+        "user_id long, ts timestamp, cv double, tag string",
+    )
+    row = asof_join(left, right, on="user_id", ts_col="ts").collect()[0]
+    # the 10:04 row is the as-of match: its NULL cv is preserved, and tag
+    # comes from the same row (per-column carry would have mixed 10.0/"new")
+    assert row["cv"] is None
+    assert row["tag"] == "new"
+
+
 def test_asof_collision_guard(spark):
     left = spark.createDataFrame([(1, T(0), 1.0)], "user_id long, ts timestamp, cv double")
     right = spark.createDataFrame([(1, T(0), 2.0)], "user_id long, ts timestamp, cv double")

@@ -64,14 +64,20 @@ def test_dedup_keep_is_single_shuffle(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
-def test_dedup_nokeep_uses_anti_join(spark):
+def test_dedup_nokeep_plan_shapes(spark):
     lines = with_line_hash(
         explode_lines(
             spark.createDataFrame([("a", "x\ny"), ("b", "x\nz")], ["image_id", "caption"])
         )
     ).select("image_id", "line_id", "line", "hash_value")
+    # default single-shuffle form: window count, no join, ONE exchange of
+    # the line set (the reference's form shuffles it twice)
     plan = _plan(dedup.dedup_nokeep(lines))
-    assert "LeftAnti" in plan
+    assert "Window" in plan and "Join" not in plan
+    assert plan.count("Exchange") == 1
+    # reference-shaped two-shuffle form retained behind the flag
+    plan_join = _plan(dedup.dedup_nokeep(lines, strategy="join"))
+    assert "LeftAnti" in plan_join
 
 
 def test_pipeline_has_no_cartesian_and_uses_codegen(spark, tmp_path):

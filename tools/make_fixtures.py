@@ -1,0 +1,157 @@
+"""Generate the checked-in oracle fixture parquets (run once; commit output).
+
+The driver's DuckDB oracle runs arbitrary SQL strings, so a fixture parquet
+referenced via read_parquet('<abs path>') lets us oracle-check operators
+whose math DuckDB cannot reproduce natively (VERDICT r2 #2/#4):
+
+- pairs400_input.parquet — the deterministic 400-row image+caption INPUT
+  table (pandas twin of synth.generate_pairs; gen_row is a pure function of
+  (i, seed)). The pairs_pipeline oracle is the full composed SQL twin over
+  this input — a genuine end-to-end check of the engine's NATIVE input path.
+- image_stats200_expected.parquet — expected decode+stats output for 200
+  pairs, computed by an INDEPENDENT re-implementation of the ppm/qjpg
+  decoders and the average-hash (not the ccnet_spark_spark.codecs code the
+  engine ships), so engine and oracle share only the format spec.
+- simhash_expected_<sf>.parquet — (doc_id, simhash) over each sf's
+  documents table PLUS the planted exact/near duplicate rows the
+  simhash_neardup contract query unions in, computed by an INDEPENDENT
+  pure-int re-implementation of the 64-bit blake2b SimHash (no numpy
+  unpackbits). Lets DuckDB verify both the simhash values and the
+  bucket+hamming near-dup pairs via its own xor/bit_count.
+
+Usage: python tools/make_fixtures.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURES = os.path.join(REPO, "fixtures")
+
+# planted-corpus constants shared with __spark_entry__.q_simhash_neardup
+SIMHASH_PLANT_N = 20
+SIMHASH_NEAR_SUFFIX = " extra trailing piece"
+
+
+def make_pairs_input(n: int = 400) -> None:
+    from ccnet_spark_spark.synth import gen_pandas
+
+    df = gen_pandas(0, n)[["image_id", "caption"]]
+    df.to_parquet(os.path.join(FIXTURES, "pairs400_input.parquet"), index=False)
+    print(f"pairs400_input.parquet: {len(df)} rows")
+
+
+# ---------------------------------------------------- independent image path
+def _decode_independent(data: bytes) -> np.ndarray:
+    """Re-implements the ppm/qjpg FORMAT SPEC (codecs.py module doc) without
+    importing codecs: header = b'<magic> <w> <h> <maxv|step>\\n', body = raw
+    HxWx3 bytes; qjpg reconstructs mid-bin values min(q*step + step//2, 255)."""
+    nl = data.index(b"\n")
+    fields = data[:nl].split()
+    body = np.frombuffer(data[nl + 1 :], dtype=np.uint8)
+    if fields[0] == b"P6":
+        w, h = int(fields[1]), int(fields[2])
+        return body.reshape(h, w, 3).astype(np.int64)
+    if fields[0] == b"QJ":
+        w, h, step = int(fields[1]), int(fields[2]), int(fields[3])
+        q = body.reshape(h, w, 3).astype(np.int64)
+        return np.minimum(q * step + step // 2, 255)
+    raise ValueError(f"unknown magic {fields[0]!r}")
+
+
+def _ahash_independent(px: np.ndarray) -> int:
+    gray = px.mean(axis=2)
+    out = 0
+    for b in (gray > gray.mean()).flatten()[:64]:
+        out = (out << 1) | int(b)
+    if out >= 2**63:
+        out -= 2**64
+    return out
+
+
+def make_image_stats_expected(n: int = 200) -> None:
+    from ccnet_spark_spark.synth import gen_pandas
+
+    src = gen_pandas(0, n)
+    rows = []
+    for r in src.itertuples():
+        px = _decode_independent(bytes(r.bytes))
+        means = px.reshape(-1, 3).mean(axis=0)
+        rows.append(
+            {
+                "image_id": r.image_id,
+                "w": np.int32(px.shape[1]),
+                "h": np.int32(px.shape[0]),
+                "fmt": r.fmt,
+                "mean_r": float(means[0]),
+                "mean_g": float(means[1]),
+                "mean_b": float(means[2]),
+                "brightness": float(means.mean()),
+                "phash_check": _ahash_independent(px),
+            }
+        )
+    out = pd.DataFrame(rows).astype({"w": "int32", "h": "int32", "phash_check": "int64"})
+    out.to_parquet(os.path.join(FIXTURES, "image_stats200_expected.parquet"), index=False)
+    print(f"image_stats200_expected.parquet: {len(out)} rows")
+
+
+# ------------------------------------------------------- independent simhash
+def _simhash_independent(tokens: list[str]) -> int:
+    """Pure-int twin of functions/hashing.simhash64: per token, blake2b-8
+    digest bits MSB-first per byte; acc>0 -> set bit i (1 << i); wrap to
+    signed int64. No numpy — independent code path, same spec."""
+    acc = [0] * 64
+    for t in tokens:
+        d = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        for i in range(64):
+            bit = (d[i // 8] >> (7 - (i % 8))) & 1
+            acc[i] += 1 if bit else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    if out >= 2**63:
+        out -= 2**64
+    return out
+
+
+def make_simhash_expected(sf_dir: str) -> None:
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    planted = docs[docs["doc_id"] < SIMHASH_PLANT_N]
+    corpus = pd.concat(
+        [
+            docs,
+            planted.assign(doc_id=planted["doc_id"] + 100000),  # exact dups
+            planted.assign(
+                doc_id=planted["doc_id"] + 200000,
+                text=planted["text"] + SIMHASH_NEAR_SUFFIX,  # near dups
+            ),
+        ],
+        ignore_index=True,
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": corpus["doc_id"].astype("int64"),
+            "simhash": [_simhash_independent((t or "").split()) for t in corpus["text"]],
+        }
+    ).astype({"simhash": "int64"})
+    name = f"simhash_expected_{os.path.basename(sf_dir.rstrip('/'))}.parquet"
+    out.to_parquet(os.path.join(FIXTURES, name), index=False)
+    print(f"{name}: {len(out)} rows")
+
+
+if __name__ == "__main__":
+    make_pairs_input()
+    make_image_stats_expected()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = os.path.join("/root/testdata", sf)
+        if os.path.isdir(d):
+            make_simhash_expected(d)
