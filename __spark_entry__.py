@@ -875,6 +875,44 @@ def q_simhash(spark, sf_dir):
     return docs.select("doc_id", hashing.make_simhash_udf()(F.col("text")).alias("simhash"))
 
 
+def q_payload_passthrough(spark, sf_dir):
+    """The north-rule payload-safety invariant, driver-recorded: image bytes
+    and phash must survive the FULL pipeline byte-identically (the quality
+    filter only labels rows; at 10^12 scale payloads are immutable). The
+    Spark side actually recomputes sha2(bytes) before and after the
+    pipeline and compares — the oracle pins that every comparison is true."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 200)
+    out = Pipeline(spark, Config(cutoffs=_cutoffs())).run(pairs)
+    src = pairs.select(
+        "image_id",
+        F.sha2(F.col("bytes"), 256).alias("_src_sha"),
+        F.col("phash").alias("_src_phash"),
+    )
+    post = out.select("image_id", F.sha2(F.col("bytes"), 256).alias("_out_sha"), "phash")
+    return post.join(src, "image_id").select(
+        "image_id",
+        (F.col("_out_sha") == F.col("_src_sha")).alias("payload_intact"),
+        (F.col("phash") == F.col("_src_phash")).alias("phash_intact"),
+    )
+
+
+def q_image_resize(spark, sf_dir):
+    """Multimodal resize (nearest-neighbor 16x16 + lossless ppm re-encode,
+    mapInPandas). All-integer math, so the oracle fixture — an INDEPENDENT
+    decode/resize/encode re-implementation — pins the EXACT payload bytes
+    via sha256."""
+    from ccnet_spark_spark.operators.multimodal import resize
+    from ccnet_spark_spark.synth import generate_pairs
+
+    out = resize(generate_pairs(spark, 200), target=16)
+    return out.select(
+        "image_id", "w", "h", "fmt", F.sha2(F.col("bytes"), 256).alias("payload_sha")
+    )
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs with a semantic radius (wires hamming64_expr:
     prefix-bucket equi-join prunes the pair space, exact hamming <= 8
@@ -1106,7 +1144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_chain": _wrap(q_ccnet_chain),
         "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
+        "payload_passthrough": _wrap(q_payload_passthrough),
         "image_stats": _wrap(q_image_stats),
+        "image_resize": _wrap(q_image_resize),
         "simhash": _wrap(q_simhash),
         "simhash_neardup": _wrap(q_simhash_neardup),
         "lsh_ann": _wrap(q_lsh_ann),
@@ -1444,6 +1484,14 @@ def oracle_sql() -> dict[str, str]:
         # bit math, so the fixture carries the recomputed values.
         "image_stats": (
             f"select * from read_parquet('{_fixture('image_stats200_expected.parquet')}')"
+        ),
+        "image_resize": (
+            f"select * from read_parquet('{_fixture('image_resize200_expected.parquet')}')"
+        ),
+        "payload_passthrough": (
+            "select image_id, true as payload_intact, true as phash_intact "
+            f"from read_parquet('{_fixture('pairs400_input.parquet')}') "
+            "where image_id < 'img0000000200'"
         ),
         "simhash": (
             f"select doc_id, simhash from read_parquet('{_simhash_fixture()}') "

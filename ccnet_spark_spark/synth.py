@@ -169,5 +169,9 @@ def generate_pairs(spark, n_rows: int, seed: int = DEFAULT_SEED, partitions: int
     return rng_df.mapInPandas(gen, schema=PAIRS_SCHEMA)
 
 
-def write_pairs(spark, path: str, n_rows: int, seed: int = DEFAULT_SEED) -> None:
-    generate_pairs(spark, n_rows, seed).write.mode("overwrite").parquet(path)
+def write_pairs(spark, path: str, n_rows: int, seed: int = DEFAULT_SEED, partitions: int | None = None) -> None:
+    """partitions matters for benchmarking: a table written with fewer files
+    than the reading session has cores caps scan parallelism (maxPartitionBytes
+    bin-packing), silently under-using the larger cluster — pass an explicit
+    count >= the largest parallelism that will read it."""
+    generate_pairs(spark, n_rows, seed, partitions).write.mode("overwrite").parquet(path)

@@ -77,6 +77,38 @@ def _ahash_independent(px: np.ndarray) -> int:
     return out
 
 
+def _encode_ppm_independent(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return ("P6 %d %d 255\n" % (w, h)).encode() + px.astype(np.uint8).tobytes()
+
+
+def make_image_resize_expected(n: int = 200, target: int = 16) -> None:
+    """Expected output of operators/multimodal.resize: nearest-neighbor
+    16x16 + lossless ppm re-encode. All-integer math, so the independent
+    recompute is bit-exact and the payload is comparable by sha256."""
+    from ccnet_spark_spark.synth import gen_pandas
+
+    src = gen_pandas(0, n)
+    rows = []
+    for r in src.itertuples():
+        px = _decode_independent(bytes(r.bytes))
+        ys = np.minimum(np.arange(target) * px.shape[0] // target, px.shape[0] - 1)
+        xs = np.minimum(np.arange(target) * px.shape[1] // target, px.shape[1] - 1)
+        data = _encode_ppm_independent(px[np.ix_(ys, xs)])
+        rows.append(
+            {
+                "image_id": r.image_id,
+                "w": target,
+                "h": target,
+                "fmt": "ppm",
+                "payload_sha": hashlib.sha256(data).hexdigest(),
+            }
+        )
+    out = pd.DataFrame(rows).astype({"w": "int32", "h": "int32"})
+    out.to_parquet(os.path.join(FIXTURES, "image_resize200_expected.parquet"), index=False)
+    print(f"image_resize200_expected.parquet: {len(out)} rows")
+
+
 def make_image_stats_expected(n: int = 200) -> None:
     from ccnet_spark_spark.synth import gen_pandas
 
@@ -151,6 +183,7 @@ def make_simhash_expected(sf_dir: str) -> None:
 if __name__ == "__main__":
     make_pairs_input()
     make_image_stats_expected()
+    make_image_resize_expected()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join("/root/testdata", sf)
         if os.path.isdir(d):
