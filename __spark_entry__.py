@@ -740,6 +740,64 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Corpus TF-IDF, top-3 terms per document — the classic two-shuffle
+    analytic: tf = groupBy(doc, term) count (map-side partial agg), df =
+    groupBy(term) countDistinct(doc), broadcast-joined back (term-count
+    table is small relative to the corpus), per-doc top-k window. N is one
+    driver-side scalar (a single count aggregate — bounded at any scale).
+    Ranking uses the ROUNDED score so both engines order identically; ties
+    break by term."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = float(docs.count())
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def q_bigram_counts(spark, sf_dir):
+    """Corpus n-gram statistics (LM training-data prep): top-10 bigrams per
+    language. explode + groupBy with map-side partial aggregation — the
+    shuffle carries only (lang, bigram, partial count)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.split("text", " ").alias("_t"))
+    bi = toks.select("lang", F.explode(hashing.word_shingles_expr(F.col("_t"), n=2)).alias("bigram"))
+    counts = bi.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index over mid-frequency BIGRAM terms (2 <= df <= 50; the
+    documents table's unigram vocabulary is ~31 words that nearly all appear
+    in every doc — bigrams give a real index): term -> numerically-sorted
+    posting list of doc_ids. Postings are emitted as a comma-joined string
+    (engine-portable comparison; arrays hash differently across engines).
+    One distinct + one groupBy — both shuffle only (term, doc_id) pairs."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("_t"))
+    pairs = toks.select(
+        "doc_id", F.explode(hashing.word_shingles_expr(F.col("_t"), n=2)).alias("term")
+    ).distinct()
+    postings = F.concat_ws(
+        ",", F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string"))
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), postings.alias("postings"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+    )
+
+
 def q_ccnet_chain(spark, sf_dir):
     """FLAGSHIP, oracle-checked end-to-end: the full quality-filter chain
     (min_len -> line dedup_keep -> regroup -> stub LID -> stub tokenize+pp
@@ -1141,6 +1199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _wrap(q_quantiles),
         "star_join": _wrap(q_star_join),
         "pricing_summary": _wrap(q_pricing_summary),
+        "tfidf_topk": _wrap(q_tfidf_topk),
+        "bigram_counts": _wrap(q_bigram_counts),
+        "inverted_index": _wrap(q_inverted_index),
         "ccnet_chain": _wrap(q_ccnet_chain),
         "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
@@ -1475,6 +1536,37 @@ def oracle_sql() -> dict[str, str]:
             "select lang, round(quantile_cont(n_chars, 0.25), 4) as p25, "
             "round(quantile_cont(n_chars, 0.5), 4) as p50, "
             "round(quantile_cont(n_chars, 0.75), 4) as p75 from documents group by lang"
+        ),
+        "tfidf_topk": (
+            "with terms as (select doc_id, unnest(string_split(text, ' ')) as term from documents), "
+            "tf as (select doc_id, term, count(*) as tf from terms group by 1, 2), "
+            "dfx as (select term, cast(count(distinct doc_id) as bigint) as df from terms group by 1), "
+            "n as (select cast(count(*) as double) as n from documents), "
+            "scored as (select doc_id, term, round(tf * ln(n.n / df), 4) as tfidf "
+            "from tf join dfx using (term), n) "
+            "select doc_id, term, tfidf, rank from ("
+            "select doc_id, term, tfidf, "
+            "row_number() over (partition by doc_id order by tfidf desc, term asc) as rank "
+            "from scored) where rank <= 3"
+        ),
+        "bigram_counts": (
+            "with bi as (select lang, unnest(list_transform(range(0, greatest(len(arr) - 1, 0)), "
+            "i -> list_extract(arr, i + 1) || ' ' || list_extract(arr, i + 2))) as bigram "
+            "from (select lang, string_split(text, ' ') as arr from documents)), "
+            "counts as (select lang, bigram, count(*) as n from bi group by 1, 2) "
+            "select lang, bigram, n, rank from ("
+            "select lang, bigram, n, "
+            "row_number() over (partition by lang order by n desc, bigram asc) as rank "
+            "from counts) where rank <= 10"
+        ),
+        "inverted_index": (
+            "with pairs as (select distinct doc_id, term from ("
+            "select doc_id, unnest(list_transform(range(0, greatest(len(arr) - 1, 0)), "
+            "i -> list_extract(arr, i + 1) || ' ' || list_extract(arr, i + 2))) as term "
+            "from (select doc_id, string_split(text, ' ') as arr from documents))) "
+            "select term, count(*) as df, "
+            "string_agg(cast(doc_id as varchar), ',' order by doc_id) as postings "
+            "from pairs group by term having count(*) between 2 and 50"
         ),
         "ccnet_chain": _ccnet_chain_sql(cutoffs),
         "ccnet_chain_lines": _ccnet_chain_lines_sql(cutoffs),
