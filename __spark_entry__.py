@@ -34,7 +34,7 @@ from ccnet_spark_spark.functions.normalize import (
 from ccnet_spark_spark.functions.scrub import scrub_expr, scrub_sql
 from ccnet_spark_spark.operators import bucket as bucket_op
 from ccnet_spark_spark.operators import chunk as chunk_op
-from ccnet_spark_spark.operators import dedup, perplexity, similarity, tokenize
+from ccnet_spark_spark.operators import dedup, perplexity, sample, similarity, tokenize
 
 MIN_LEN_DOCS = 280  # documents are shorter than captions; same operator
 
@@ -740,6 +740,17 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sample (~10.2 % = 26/256): stable across
+    engines/retries/cluster sizes, unlike seed-based sample() — the pattern
+    for fixed dev/eval slices of a 100 TB corpus (operators/sample.py). The
+    predicate is a pure expression inside the scan; DuckDB runs the
+    identical formula."""
+    return sample.hash_sample(_docs(spark, sf_dir), "doc_id", rate_256=26).select(
+        "doc_id", "lang"
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Corpus TF-IDF, top-3 terms per document — the classic two-shuffle
     analytic: tf = groupBy(doc, term) count (map-side partial agg), df =
@@ -782,19 +793,19 @@ def q_inverted_index(spark, sf_dir):
     in every doc — bigrams give a real index): term -> numerically-sorted
     posting list of doc_ids. Postings are emitted as a comma-joined string
     (engine-portable comparison; arrays hash differently across engines).
-    One distinct + one groupBy — both shuffle only (term, doc_id) pairs."""
+    ONE shuffle: collect_set dedups (doc, term) repeats inside the
+    aggregation with map-side partial sets — a distinct-then-groupBy
+    formulation would shuffle the pair set twice."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.split("text", " ").alias("_t"))
-    pairs = toks.select(
+    terms = toks.select(
         "doc_id", F.explode(hashing.word_shingles_expr(F.col("_t"), n=2)).alias("term")
-    ).distinct()
-    postings = F.concat_ws(
-        ",", F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string"))
     )
-    return (
-        pairs.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"), postings.alias("postings"))
-        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+    agged = terms.groupBy("term").agg(F.array_sort(F.collect_set("doc_id")).alias("_p"))
+    return agged.where((F.size("_p") >= 2) & (F.size("_p") <= 50)).select(
+        "term",
+        F.size("_p").cast("long").alias("df"),
+        F.concat_ws(",", F.transform(F.col("_p"), lambda x: x.cast("string"))).alias("postings"),
     )
 
 
@@ -1199,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _wrap(q_quantiles),
         "star_join": _wrap(q_star_join),
         "pricing_summary": _wrap(q_pricing_summary),
+        "hash_sample": _wrap(q_hash_sample),
         "tfidf_topk": _wrap(q_tfidf_topk),
         "bigram_counts": _wrap(q_bigram_counts),
         "inverted_index": _wrap(q_inverted_index),
@@ -1536,6 +1548,10 @@ def oracle_sql() -> dict[str, str]:
             "select lang, round(quantile_cont(n_chars, 0.25), 4) as p25, "
             "round(quantile_cont(n_chars, 0.5), 4) as p50, "
             "round(quantile_cont(n_chars, 0.75), 4) as p75 from documents group by lang"
+        ),
+        "hash_sample": (
+            "select doc_id, lang from documents where "
+            + sample.hash_sample_sql("doc_id", 26)
         ),
         "tfidf_topk": (
             "with terms as (select doc_id, unnest(string_split(text, ' ')) as term from documents), "
