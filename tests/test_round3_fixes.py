@@ -98,3 +98,19 @@ def test_hash_sample_is_deterministic_and_scan_pushed(spark):
     assert a <= c
     plan = hash_sample(df, "doc_id", 26)._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan and "Exchange" not in plan  # rides inside the scan
+
+
+def test_pipeline_on_empty_input(spark):
+    """0-row input -> 0-row output with the full engine schema, no crash
+    (empty aggregations, empty Arrow batches, empty broadcast sides)."""
+    from ccnet_spark_spark.operators.bucket import load_cutoffs_dict
+    from ccnet_spark_spark.plans.pipeline import ENGINE_COLUMNS, Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    empty = generate_pairs(spark, 4).limit(0)
+    out = Pipeline(spark, Config(cutoffs=load_cutoffs_dict())).run(empty)
+    assert out.count() == 0
+    for col in ENGINE_COLUMNS:
+        if col == "tokenized":
+            continue  # dropped by default (Config.drop_tokenized, reference DROP step)
+        assert col in out.columns, col
