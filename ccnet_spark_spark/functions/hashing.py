@@ -59,25 +59,23 @@ def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
     return F.when(F.size(tokens) >= n, shingles).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_expr(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as array<string>: per hash-seed s, the lexicographic
-    min over shingles of substr(sha256(s || ':' || shingle), 1, 8).
-
-    sha256-based so DuckDB reproduces it exactly; at the pure-perf scale path
-    swap the inner hash for xxhash64(s, shingle). Null/empty shingles ->
-    signature of 'z' sentinels (never collides with real hex)."""
-    sig = []
-    for s in range(num_hashes):
-        hashed = F.transform(shingles, lambda x, s=s: F.substring(F.sha2(F.concat(F.lit(f"{s}:"), x), 256), 1, 8))
-        sig.append(F.coalesce(F.array_min(hashed), F.lit("z")))
-    return F.array(*sig)
-
-
 def minhash_sql(shingles_expr: str, num_hashes: int = 16) -> str:
-    parts = [
-        f"coalesce(list_min(list_transform({shingles_expr}, x -> substr(sha256('{s}:' || x), 1, 8))), 'z')"
-        for s in range(num_hashes)
-    ]
+    """DuckDB twin of the sha2 MinHash in operators/dedup.minhash_signatures:
+    for num_hashes <= 8, all per-seed hashes are 8-hex SLICES of one sha256
+    digest per shingle (one hash computation instead of num_hashes — the
+    digest's 64 hex chars hold exactly 8 disjoint 32-bit coordinates);
+    beyond 8, seeded independent digests."""
+    if num_hashes <= 8:
+        parts = [
+            f"coalesce(list_min(list_transform({shingles_expr}, "
+            f"x -> substr(sha256(x), {8 * s + 1}, 8))), 'z')"
+            for s in range(num_hashes)
+        ]
+    else:
+        parts = [
+            f"coalesce(list_min(list_transform({shingles_expr}, x -> substr(sha256('{s}:' || x), 1, 8))), 'z')"
+            for s in range(num_hashes)
+        ]
     return "[" + ", ".join(parts) + "]"
 
 
