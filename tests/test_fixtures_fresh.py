@@ -1,0 +1,68 @@
+"""Checked-in oracle fixtures must stay in sync with their generators.
+
+The fixture parquets (fixtures/*.parquet, built by tools/make_fixtures.py)
+are referenced from oracle_sql() via read_parquet — if synth.py, the
+codecs spec, or the driver testdata drift, the fixtures go stale and the
+driver gate fails far from the cause. These tests regenerate a SAMPLE of
+each fixture in-memory and compare against the committed file, failing
+with a pointer to rerun make_fixtures.py. (No Spark needed — fixtures are
+pandas-built by design.)
+"""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIX = os.path.join(REPO, "fixtures")
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import make_fixtures as mf  # noqa: E402
+
+STALE = "stale fixture — rerun `python tools/make_fixtures.py` and commit"
+
+
+def test_pairs_input_fixture_fresh():
+    from ccnet_spark_spark.synth import gen_pandas
+
+    disk = pd.read_parquet(os.path.join(FIX, "pairs400_input.parquet"))
+    assert len(disk) == 400, STALE
+    regen = gen_pandas(0, 25)[["image_id", "caption"]]
+    pd.testing.assert_frame_equal(disk.head(25), regen, obj=STALE)
+
+
+def test_image_stats_fixture_fresh():
+    from ccnet_spark_spark.synth import gen_pandas
+
+    disk = pd.read_parquet(os.path.join(FIX, "image_stats200_expected.parquet"))
+    assert len(disk) == 200, STALE
+    src = gen_pandas(0, 10)
+    for i, r in enumerate(src.itertuples()):
+        px = mf._decode_independent(bytes(r.bytes))
+        assert disk.loc[i, "image_id"] == r.image_id, STALE
+        assert disk.loc[i, "phash_check"] == mf._ahash_independent(px), STALE
+        assert disk.loc[i, "brightness"] == px.reshape(-1, 3).mean(axis=0).mean(), STALE
+
+
+def test_simhash_fixture_fresh():
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata absent")
+    disk = pd.read_parquet(os.path.join(FIX, "simhash_expected_sf0.01.parquet"))
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).head(10)
+    by_id = dict(zip(disk["doc_id"], disk["simhash"]))
+    for r in docs.itertuples():
+        assert by_id[r.doc_id] == mf._simhash_independent(r.text.split()), STALE
+    # planted rows present: exact dups (+100000) share the original's hash
+    assert by_id[100000 + int(docs["doc_id"].iloc[0])] == by_id[int(docs["doc_id"].iloc[0])], STALE
+
+
+def test_independent_simhash_matches_engine():
+    """The two implementations (engine numpy vs fixture pure-int) are
+    INDEPENDENT code paths for the same spec — they must agree."""
+    from ccnet_spark_spark.functions.hashing import simhash64
+
+    for toks in ([], ["a"], "the quick brown fox".split(), ["é", "中文", "x" * 50]):
+        assert mf._simhash_independent(toks) == simhash64(toks)
