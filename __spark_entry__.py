@@ -46,10 +46,20 @@ def _secure_dir(path: str) -> str:
     """mkdir -p with ownership verification (ADVICE r2): makedirs(exist_ok)
     happily adopts a directory another local user pre-created in
     world-writable /tmp — they could then plant/replace files we trust
-    (zips shipped to every executor, streaming sources). Verify the dir is
-    OURS; force 0700 if it is, refuse loudly if it is not."""
+    (zips shipped to every executor, streaming sources). lstat (NOT stat:
+    a planted symlink at the well-known path would otherwise redirect our
+    chmod/rmtree into a victim-owned tree while passing the uid check) and
+    require a real directory that is OURS; force 0700 if it is, refuse
+    loudly otherwise."""
+    import stat as stat_mod
+
     os.makedirs(path, mode=0o700, exist_ok=True)
-    st = os.stat(path)
+    st = os.lstat(path)
+    if not stat_mod.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"refusing to use {path}: not a real directory "
+            "(symlink planted in a shared tmp?)"
+        )
     if st.st_uid != os.getuid():
         raise RuntimeError(
             f"refusing to use {path}: owned by uid {st.st_uid}, not {os.getuid()} "
@@ -112,20 +122,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_dirs(name: str) -> tuple[str, str, str]:
     """Per-query streaming workspace (src, sink, ckpt) under ONE per-uid
-    secure root. The PREVIOUS run's dirs for the same query are removed up
-    front: the sink must outlive this call (the returned DataFrame reads it
-    lazily, the driver collects after we return), so cleanup-at-start bounds
-    /tmp litter to one run per query instead of mkdtemp-per-invocation
+    secure root, suffixed with the OWNING PID so concurrent runs under the
+    same uid (e.g. bench.py and check_oracle.py together) never rmtree each
+    other's live streams. Cleanup happens at the START of a run and removes
+    only this query's dirs whose owning process is gone: the sink must
+    outlive this call (the returned DataFrame reads it lazily, the driver
+    collects after we return), so delete-on-next-run bounds /tmp litter to
+    one run per query per live process instead of mkdtemp-per-invocation
     growing forever (VERDICT r2 #6)."""
     import shutil
     import tempfile
 
     root = _secure_dir(os.path.join(tempfile.gettempdir(), f"ccnet_stream_{os.getuid()}"))
-    base = os.path.join(root, name)
-    if os.path.exists(base):
-        shutil.rmtree(base)
-    src = os.path.join(base, "src")
+    for entry in os.listdir(root):
+        head, _, pid = entry.rpartition("-")
+        if head == name and pid.isdigit():
+            if int(pid) == os.getpid() or not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    src = os.path.join(root, f"{name}-{os.getpid()}", "src")
     os.makedirs(src)
+    base = os.path.dirname(src)
     return src, os.path.join(base, "sink"), os.path.join(base, "ckpt")
 
 

@@ -21,8 +21,11 @@ from pyspark.sql import functions as F
 
 
 def _threshold_hex(rate_256: int) -> str:
-    if not 0 < rate_256 <= 256:
-        raise ValueError(f"rate_256 must be in 1..256, got {rate_256}")
+    # 1..255 only: format(256, '02x') is the 3-char '100', and a 2-char
+    # prefix compared against it keeps ~17/256 of rows instead of all —
+    # rate 256 means "don't sample", which is not this operator's job
+    if not 0 < rate_256 < 256:
+        raise ValueError(f"rate_256 must be in 1..255 (256 = no sampling), got {rate_256}")
     return format(rate_256, "02x")
 
 

@@ -56,12 +56,14 @@ def test_dedup_nokeep_window_equals_join(spark):
         ("a", 1, "y", "h2"),
         ("c", 0, "z", "h3"),
         ("c", 1, "z2", "h3"),  # dup within doc
+        ("d", 0, "n1", None),  # NULL hashes: unknown content, NOT dups of
+        ("e", 0, "n2", None),  # each other — both forms must keep them
     ]
     lines = spark.createDataFrame(rows, ["doc_id", "line_id", "line", "hash_value"])
     key = lambda r: (r["doc_id"], r["line_id"])  # noqa: E731
     w = sorted(map(key, dedup.dedup_nokeep(lines, strategy="window").collect()))
     j = sorted(map(key, dedup.dedup_nokeep(lines, strategy="join").collect()))
-    assert w == j == [("a", 1)]
+    assert w == j == [("a", 1), ("d", 0), ("e", 0)]
 
 
 def test_simhash_neardup_exact_dup_at_zero(spark):

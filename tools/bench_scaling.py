@@ -68,9 +68,15 @@ def run_child(cpus: int) -> float:
         text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    print(line, flush=True)
-    return json.loads(line)["sec"]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        sys.stderr.write(out.stderr[-2000:])
+        raise RuntimeError(
+            f"scaling child local[{cpus}] failed (rc={out.returncode}, "
+            f"{'no JSON line' if not lines else 'nonzero exit'}) — stderr above"
+        )
+    print(lines[-1], flush=True)
+    return json.loads(lines[-1])["sec"]
 
 
 def main():
