@@ -1089,6 +1089,71 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(sink).select("hash_value")
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream INTERVAL join (the third Structured Streaming operator
+    class beside windowed aggs and arbitrary state): each purchase joins
+    every same-user click in the preceding 30 minutes. Purchases and clicks
+    arrive as two independent file streams; watermarks + the time-range
+    condition bound the join state (the 10^12-scale knob — without them
+    both sides buffer forever). Inner joins emit matches eagerly (no
+    watermark closure needed for emission), so availableNow produces
+    exactly the batch interval join — the DuckDB twin."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    src_p, sink, ckpt = _stream_dirs("stream_stream_join")
+    src_c = os.path.join(os.path.dirname(src_p), "src_clicks")
+    os.makedirs(src_c)
+    ev.where(F.col("event_type") == "purchase").write.mode("append").parquet(src_p)
+    ev.where(F.col("event_type") == "click").write.mode("append").parquet(src_c)
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    p = (
+        spark.readStream.schema(schema).parquet(src_p)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    c = (
+        spark.readStream.schema(schema).parquet(src_c)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user_id = c_user_id and "
+            "c_ts >= p_ts - interval 30 minutes and c_ts <= p_ts"
+        ),
+    ).select(
+        "p_event_id",
+        F.col("p_user_id").alias("user_id"),
+        "p_ts",
+        "c_ts",
+        F.round("p_value", 2).alias("purchase_value"),
+        F.round("c_value", 2).alias("click_value"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink)
+
+
 def q_streaming_dedup_ttl(spark, sf_dir):
     """TTL-armed stateful streaming dedup with the EVICTION PATH observable
     in the driver record (VERDICT r2 #5): keyed state expires 500 ms after
@@ -1243,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_exhaustive": _wrap(q_ivf_exhaustive),
         "streaming_dedup": _wrap(q_streaming_dedup),
         "streaming_dedup_ttl": _wrap(q_streaming_dedup_ttl),
+        "stream_stream_join": _wrap(q_stream_stream_join),
     }
 
 
@@ -1630,6 +1696,13 @@ def oracle_sql() -> dict[str, str]:
             # (xor & top16-mask) = 0  <=>  shiftrightunsigned(h, 48) equality
             f"and (xor(a.simhash, b.simhash) & ({-(1 << 48)})::bigint) = 0"
             ") where hamming <= 8"
+        ),
+        "stream_stream_join": (
+            "select p.event_id as p_event_id, p.user_id, p.ts as p_ts, c.ts as c_ts, "
+            "round(p.value, 2) as purchase_value, round(c.value, 2) as click_value "
+            "from events p join events c on p.event_type = 'purchase' "
+            "and c.event_type = 'click' and p.user_id = c.user_id "
+            "and c.ts >= p.ts - interval 30 minutes and c.ts <= p.ts"
         ),
         "streaming_dedup_ttl": (
             f"select {_ttl_hash('caption one')} as hash_value, cast(2 as bigint) as n_emits "
