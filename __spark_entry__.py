@@ -459,6 +459,21 @@ def q_minhash_dedup(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_dup_clusters(spark, sf_dir):
+    """TRUE duplicate clustering: connected components (iterative min-label
+    propagation, operators/graph.py) over the MinHash-LSH candidate pairs —
+    each doc labeled with the min id of its whole component (pair-wise
+    min-id dedup under-collapses transitive chains). The DuckDB twin
+    computes the same components with a RECURSIVE reachability CTE — a
+    fully independent algorithm."""
+    from ccnet_spark_spark.operators.graph import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    cand = dedup.minhash_lsh_candidates(sigs, "doc_id", num_bands=4, rows_per_band=2)
+    return dup_clusters(docs, cand, "doc_id")
+
+
 def q_jaccard_pairs(spark, sf_dir):
     # exact n-gram Jaccard similar pairs — EXACTNESS BASELINE ONLY (raw
     # shared-shingle self-join, quadratic within shingle buckets); the
@@ -1271,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _wrap(q_minhash_bands),
         "minhash_pairs": _wrap(q_minhash_pairs),
         "minhash_dedup": _wrap(q_minhash_dedup),
+        "dup_clusters": _wrap(q_dup_clusters),
         "jaccard_pairs": _wrap(q_jaccard_pairs),
         "lsh_then_jaccard": _wrap(q_lsh_then_jaccard),
         "lsh_jaccard_xxhash": _wrap(q_lsh_jaccard_xxhash),
@@ -1450,6 +1466,23 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, lang from documents where doc_id not in ("
             "select distinct b.doc_id from bands a join bands b using (band_key) "
             "where a.doc_id < b.doc_id)"
+        ),
+        "dup_clusters": (
+            # WITH RECURSIVE is required for the reach CTE; non-recursive
+            # members are unaffected by the keyword
+            f"{sig_cte.replace('with sigs', 'with recursive sigs', 1)}, "
+            "cand as (select distinct a.doc_id as id_a, b.doc_id as id_b "
+            "from bands a join bands b using (band_key) where a.doc_id < b.doc_id), "
+            "edges as (select id_a as u, id_b as v from cand "
+            "union select id_b as u, id_a as v from cand), "
+            # independent algorithm: full reachability closure via a
+            # recursive CTE, then min reachable id (vs Spark's iterative
+            # min-label propagation)
+            "reach as (select u as node, v as r from edges "
+            "union select e.u as node, reach.r from edges e join reach on e.v = reach.node), "
+            "lbl as (select node, least(min(r), node) as cluster from reach group by node) "
+            "select d.doc_id, coalesce(l.cluster, d.doc_id) as cluster "
+            "from documents d left join lbl l on l.node = d.doc_id"
         ),
         "lsh_then_jaccard": (
             f"{sig_cte}, "

@@ -1,0 +1,73 @@
+"""Connected components over a candidate-pair graph — true duplicate
+CLUSTERING.
+
+minhash_lsh_dedup (operators/dedup.py) drops any doc that bands with a
+smaller-id doc — a pair-wise approximation that under-collapses chains:
+with candidate pairs (a,c) and (b,c), a<b<c, it keeps both a and b even
+though all three are transitively one duplicate cluster. Connected
+components assigns every doc the min id of its whole component
+(cc_net / SlimPajama-style cluster collapse), at the cost of an iterative
+job.
+
+Algorithm: min-label propagation — each node repeatedly takes the minimum
+label among itself and its neighbors until fixpoint; converges in
+O(component diameter) rounds, each round ONE join + ONE groupBy. Labels
+are localCheckpoint'd per round to truncate the growing lineage (a
+production run on unreliable executors would use reliable checkpointing;
+the loop itself is the standard large-scale CC shape — the driver holds
+only the changed-count scalar, never the graph). Web-dup components are
+shallow (near-clique blobs from shared boilerplate), so the diameter bound
+is small in practice; max_iterations guards adversarial chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iterations: int = 25
+) -> DataFrame:
+    """(node, cluster) for every node appearing in `edges` (undirected);
+    cluster = min node id of the connected component."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.localCheckpoint()
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("cluster"))
+
+
+def dup_clusters(docs: DataFrame, candidates: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Every doc labeled with its duplicate-cluster id: connected components
+    over the candidate pairs; docs in no pair form singleton clusters of
+    themselves. Collapse = keep rows where cluster == id."""
+    cc = connected_components(candidates)
+    return docs.select(id_col).join(cc, docs[id_col] == cc.node, "left").select(
+        id_col, F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster")
+    )

@@ -116,3 +116,20 @@ def test_pipeline_on_empty_input(spark):
         if col == "tokenized":
             continue  # dropped by default (Config.drop_tokenized, reference DROP step)
         assert col in out.columns, col
+
+
+def test_connected_components_collapses_chains(spark):
+    """CC must label whole components, including the transitive chain the
+    pair-wise min-id dedup under-collapses: pairs (1,3),(2,3) are ONE
+    cluster {1,2,3} -> all labeled 1 (min-id dedup would keep both 1 and 2)."""
+    from ccnet_spark_spark.operators.graph import connected_components, dup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 20, 21, 99]], ["doc_id"])
+    clusters = {r["doc_id"]: r["cluster"] for r in dup_clusters(docs, edges).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 20: 20, 21: 20, 99: 99}  # 99 = singleton
