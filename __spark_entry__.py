@@ -771,6 +771,28 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-batch sequence packing (contiguous fixed-budget variant):
+    within each language, docs in deterministic (doc_id) order are assigned
+    to packs of ~512 whitespace tokens via an EXCLUSIVE prefix sum —
+    pack_id = floor(tokens_before / budget). One window shuffle; docs may
+    straddle a boundary (they are chunked downstream by chunk_text). The
+    greedy bin-packing variant is deliberately not used: it is
+    order-history-dependent and not expressible as a window, while the
+    contiguous form is the shape production packers shard by."""
+    budget = 512
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", textstats.token_count_expr("text").cast("long").alias("tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    return docs.withColumn("pack_id", F.floor(before / budget).cast("long"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-hash sample (~10.2 % = 26/256): stable across
     engines/retries/cluster sizes, unlike seed-based sample() — the pattern
@@ -1308,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": _wrap(q_star_join),
         "pricing_summary": _wrap(q_pricing_summary),
         "hash_sample": _wrap(q_hash_sample),
+        "pack_sequences": _wrap(q_pack_sequences),
         "tfidf_topk": _wrap(q_tfidf_topk),
         "bigram_counts": _wrap(q_bigram_counts),
         "inverted_index": _wrap(q_inverted_index),
@@ -1667,6 +1690,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "select doc_id, lang from documents where "
             + sample.hash_sample_sql("doc_id", 26)
+        ),
+        "pack_sequences": (
+            f"select doc_id, lang, {textstats.token_count_sql('text')} as tokens, "
+            "cast(floor(coalesce(sum(" + textstats.token_count_sql("text") + ") over ("
+            "partition by lang order by doc_id "
+            "rows between unbounded preceding and 1 preceding), 0) / 512) as bigint) as pack_id "
+            "from documents"
         ),
         "tfidf_topk": (
             "with terms as (select doc_id, unnest(string_split(text, ' ')) as term from documents), "
