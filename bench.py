@@ -44,9 +44,14 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "lsh_then_jaccard",
     "lsh_jaccard_xxhash",
+    "simhash_neardup",
+    "dup_clusters",
     "ann_topk",
     "emb_neardup_lsh",
     "events_window",
+    "tfidf_topk",
+    "inverted_index",
+    "pack_sequences",
     "ccnet_chain",
     "ccnet_chain_lines",
 ]
