@@ -34,7 +34,14 @@ from ccnet_spark_spark.functions.normalize import (
 from ccnet_spark_spark.functions.scrub import scrub_expr, scrub_sql
 from ccnet_spark_spark.operators import bucket as bucket_op
 from ccnet_spark_spark.operators import chunk as chunk_op
-from ccnet_spark_spark.operators import dedup, perplexity, sample, similarity, tokenize
+from ccnet_spark_spark.operators import (
+    dedup,
+    perplexity,
+    quality_rules,
+    sample,
+    similarity,
+    tokenize,
+)
 
 MIN_LEN_DOCS = 280  # documents are shorter than captions; same operator
 
@@ -862,6 +869,115 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+# ------------------------------------------- published quality-filter rules
+def _mdocs4(spark, sf_dir, line_fn=None):
+    """Deterministic multi-line docs for the line-granular quality rules
+    (documents are single-line): 4-doc groups keyed gid = doc_id // 4, lines
+    ordered by doc_id; groups with gid % 3 == 0 get their first line planted
+    a second time so duplicate-line statistics genuinely fire."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if line_fn is not None:
+        docs = docs.withColumn("text", line_fn(F.col("doc_id"), F.col("text")))
+    g = (
+        docs.withColumn("_gid", F.floor(F.col("doc_id") / 4).cast("long"))
+        .groupBy("_gid")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "text"))).alias("_g"))
+    )
+    lines = F.col("_g.text")
+    lines = F.when(
+        F.col("_gid") % 3 == 0, F.concat(lines, F.array(F.element_at(lines, 1)))
+    ).otherwise(lines)
+    return g.select(F.col("_gid").alias("doc_id"), F.array_join(lines, "\n").alias("text"))
+
+
+def _mdocs4_sql(line_expr: str = "text") -> str:
+    """DuckDB twin of _mdocs4 as a parenthesized relation."""
+    return (
+        "(with g4 as (select doc_id // 4 as gid, doc_id, "
+        f"{line_expr} as text from documents) "
+        "select gid as doc_id, string_agg(text, chr(10) order by doc_id) "
+        "|| case when gid % 3 = 0 then chr(10) || arg_min(text, doc_id) else '' end as text "
+        "from g4 group by gid)"
+    )
+
+
+def q_gopher_ngrams(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021 A1.1): top-2/3-gram and
+    duplicate-5-gram character fractions via the explode+groupBy shape (no
+    per-doc quadratic lambda — survives arbitrarily long documents)."""
+    return quality_rules.gopher_ngram_stats(
+        _docs(spark, sf_dir), "doc_id", "text", top_ns=(2, 3), dup_ns=(5,)
+    )
+
+
+def q_gopher_lines(spark, sf_dir):
+    # Gopher duplicate-line fraction + char-weighted variant over composed
+    # multi-line docs with planted intra-doc duplicate lines
+    return quality_rules.gopher_line_stats(_mdocs4(spark, sf_dir), "doc_id", "text")
+
+
+def q_gopher_rules(spark, sf_dir):
+    # Gopher word-level gates; min_words=40 splits this corpus so the keep
+    # flag genuinely varies
+    return quality_rules.gopher_word_rules(_docs(spark, sf_dir), "doc_id", "text", min_words=40)
+
+
+# C4 plantings: line-level terminal punctuation / javascript, doc-level
+# lorem-ipsum and curly-brace poison. CASE order matters at doc_id % 21.
+def _c4_line_fn(d, t):
+    return (
+        F.when(d % 7 == 0, F.concat(t, F.lit(" javascript.")))
+        .when(d % 3 == 0, F.concat(t, F.lit(".")))
+        .otherwise(t)
+    )
+
+
+_C4_LINE_SQL = (
+    "case when doc_id % 7 = 0 then text || ' javascript.' "
+    "when doc_id % 3 = 0 then text || '.' else text end"
+)
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 cleanup (Raffel et al. 2020 §2.2): keep terminal-punctuation lines
+    with >= 3 words and no 'javascript'; drop docs containing lorem ipsum or
+    a curly brace. Map-only array expressions — zero shuffle beyond the doc
+    composition."""
+    m = _mdocs4(spark, sf_dir, line_fn=_c4_line_fn)
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 10 == 0, F.concat(t, F.lit("\nlorem ipsum dolor sit amet."))
+    ).otherwise(t)
+    t = F.when(F.col("doc_id") % 13 == 0, F.concat(t, F.lit("\nschema { fields }"))).otherwise(t)
+    return quality_rules.c4_line_filters(
+        m.select("doc_id", t.alias("text")), "doc_id", "text", min_line_words=3, min_kept_lines=1
+    )
+
+
+def _c4_planted_sql() -> str:
+    return (
+        "(select doc_id, text "
+        "|| case when doc_id % 10 = 0 then chr(10) || 'lorem ipsum dolor sit amet.' else '' end "
+        "|| case when doc_id % 13 = 0 then chr(10) || 'schema { fields }' else '' end as text "
+        f"from {_mdocs4_sql(_C4_LINE_SQL)} m)"
+    )
+
+
+def q_cutoff_train(spark, sf_dir):
+    """The offline cutoff-training step the reference's cutoff.csv comes
+    from: per-language 101-point perplexity percentile matrix computed from
+    the corpus (tokenize -> stub pp -> exact percentile per lang), in the
+    exact shape bucket.cutoffs_from_percentile_matrix loads back. pp is
+    re-rounded to 1dp ON DOUBLES before the percentile: the UDF column is
+    float32, and percentiles interpolate — float32 representation error
+    (22.3f = 22.29999923...) would otherwise leak into the 4dp cutoffs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    t = tokenize.with_tokenized(docs, "text")
+    p = perplexity.with_perplexity(t, "tokenized")
+    p = p.withColumn("pp", F.round(F.col("perplexity").cast("double"), 1))
+    return bucket_op.train_cutoff_matrix(p, pp_col="pp", lang_col="lang")
+
+
 def q_ccnet_chain(spark, sf_dir):
     """FLAGSHIP, oracle-checked end-to-end: the full quality-filter chain
     (min_len -> line dedup_keep -> regroup -> stub LID -> stub tokenize+pp
@@ -1334,6 +1450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _wrap(q_tfidf_topk),
         "bigram_counts": _wrap(q_bigram_counts),
         "inverted_index": _wrap(q_inverted_index),
+        "gopher_ngrams": _wrap(q_gopher_ngrams),
+        "gopher_lines": _wrap(q_gopher_lines),
+        "gopher_rules": _wrap(q_gopher_rules),
+        "c4_filters": _wrap(q_c4_filters),
+        "cutoff_train": _wrap(q_cutoff_train),
         "ccnet_chain": _wrap(q_ccnet_chain),
         "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
@@ -1728,6 +1849,21 @@ def oracle_sql() -> dict[str, str]:
             "select term, count(*) as df, "
             "string_agg(cast(doc_id as varchar), ',' order by doc_id) as postings "
             "from pairs group by term having count(*) between 2 and 50"
+        ),
+        "gopher_ngrams": quality_rules.gopher_ngram_stats_sql(
+            "documents", "doc_id", "text", top_ns=(2, 3), dup_ns=(5,)
+        ),
+        "gopher_lines": quality_rules.gopher_line_stats_sql(
+            _mdocs4_sql() + " m", "doc_id", "text"
+        ),
+        "gopher_rules": quality_rules.gopher_word_rules_sql(
+            "documents", "doc_id", "text", min_words=40
+        ),
+        "c4_filters": quality_rules.c4_line_filters_sql(
+            _c4_planted_sql() + " p", "doc_id", "text", min_line_words=3, min_kept_lines=1
+        ),
+        "cutoff_train": bucket_op.train_cutoff_matrix_sql(
+            "documents", _pp_sql("text"), "lang"
         ),
         "ccnet_chain": _ccnet_chain_sql(cutoffs),
         "ccnet_chain_lines": _ccnet_chain_lines_sql(cutoffs),

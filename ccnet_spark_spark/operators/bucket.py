@@ -76,6 +76,50 @@ def with_bucket(df: DataFrame, cutoffs_df: DataFrame, pp_col: str = "perplexity"
     return joined.withColumn("bucket", bucket).drop("pp_head", "pp_tail")
 
 
+def train_cutoff_matrix(
+    df: DataFrame, pp_col: str = "perplexity", lang_col: str = "lang", n_points: int = 101
+) -> DataFrame:
+    """The OFFLINE step the reference consumes but never shows: compute the
+    cc_net-style percentile cutoff matrix (reference cutoff.csv — 101
+    perplexity percentiles per language, /root/reference/pipe_line.py:86-87,
+    123-130) FROM the corpus itself. One exact-percentile aggregation per
+    language (Spark `percentile` — linear interpolation, single shuffle on
+    the language key, array result) exploded to (lang, pct, cutoff) rows, the
+    exact shape cutoffs_from_percentile_matrix() loads back.
+
+    Scale note: exact percentile holds per-group values in memory; per
+    language that is |docs-per-lang| doubles — at 10^12 rows switch the expr
+    to percentile_approx(pp, ..., 10000) for a sketch-based one-pass with the
+    same output shape (contract keeps the exact form so the DuckDB twin
+    (quantile_cont) can verify the math bit-for-bit)."""
+    pcts = [i / (n_points - 1) for i in range(n_points)]
+    arr = F.expr(f"percentile({pp_col}, array({', '.join(repr(p) for p in pcts)}))")
+    per_lang = (
+        df.where(F.col(pp_col).isNotNull() & (F.col(pp_col) >= 0))
+        .groupBy(lang_col)
+        .agg(arr.alias("_qs"))
+    )
+    return per_lang.select(
+        lang_col, F.posexplode("_qs").alias("pct", "_cutoff")
+    ).select(lang_col, F.col("pct").cast("int").alias("pct"), F.round("_cutoff", 4).alias("cutoff"))
+
+
+def train_cutoff_matrix_sql(
+    rel: str, pp_expr: str, lang_col: str = "lang", n_points: int = 101
+) -> str:
+    """DuckDB twin of train_cutoff_matrix: quantile_cont list + lockstep
+    generate_subscripts/unnest (both engines use the standard linear
+    interpolation at rank p*(n-1))."""
+    pcts = ", ".join(repr(i / (n_points - 1)) for i in range(n_points))
+    return (
+        f"with src as (select {lang_col}, {pp_expr} as pp from {rel}), "
+        f"q as (select {lang_col}, quantile_cont(pp, [{pcts}]) as qs from src "
+        f"where pp is not null and pp >= 0 group by {lang_col}) "
+        f"select {lang_col}, cast(generate_subscripts(qs, 1) - 1 as int) as pct, "
+        f"round(unnest(qs), 4) as cutoff from q"
+    )
+
+
 def bucket_case_sql(pp_expr: str, lang_expr: str, cutoffs: dict[str, tuple[float, float]]) -> str:
     """DuckDB oracle twin as an explicit CASE chain (the reference's own
     formulation), for the oracle_sql entries."""

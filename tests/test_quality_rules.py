@@ -1,0 +1,164 @@
+"""Value tests for the published quality-filter rules
+(operators/quality_rules.py): Gopher repetition/word gates and C4 line
+filters, against hand-computed expectations on crafted documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccnet_spark_spark.operators import bucket as bucket_op
+from ccnet_spark_spark.operators.quality_rules import (
+    c4_line_filters,
+    gopher_line_stats,
+    gopher_ngram_stats,
+    gopher_word_rules,
+)
+
+
+def _rows(df, key="doc_id"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+class TestGopherNgrams:
+    def test_repeated_bigram(self, spark):
+        # "ab cd ab cd ab": 2-grams = [ab cd, cd ab, ab cd, cd ab] ->
+        # top 2-gram 'ab cd' cnt=2 chars=2*5=10; total chars = 14
+        df = spark.createDataFrame([(1, "ab cd ab cd ab")], "doc_id long, text string")
+        out = _rows(gopher_ngram_stats(df, top_ns=(2,), dup_ns=(2,)))
+        assert out[1]["top_2gram_char_frac"] == round(10 / 14, 4)
+        # both distinct 2-grams occur twice: (2*5 + 2*5)/14 > 1 -> clamped
+        assert out[1]["dup_2gram_char_frac"] == 1.0
+
+    def test_no_repetition_and_short(self, spark):
+        df = spark.createDataFrame(
+            [(1, "all words unique here now"), (2, "one"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = _rows(gopher_ngram_stats(df, top_ns=(2,), dup_ns=(5,)))
+        # all 2-grams unique: max of cnt*len picks the longest gram
+        assert out[1]["top_2gram_char_frac"] == round(len("words unique") / 25, 4)
+        assert out[1]["dup_5gram_char_frac"] == 0.0
+        # note: 0.48 > 0.20 -> even a UNIQUE long 2-gram trips the threshold
+        # on a tiny doc; Gopher's thresholds assume page-length text
+        assert out[1]["keep_rep"] is False
+        # shingle-less docs survive with zeroed stats (left-join back)
+        assert out[2]["top_2gram_char_frac"] == 0.0
+        assert out[3]["keep_rep"] is True
+
+    def test_keep_flag_threshold(self, spark):
+        # 'spam ham ' * 30: top 2-gram frac ~1.0 >> 0.20 -> dropped
+        df = spark.createDataFrame([(1, "spam ham " * 30)], "doc_id long, text string")
+        out = _rows(gopher_ngram_stats(df, top_ns=(2,), dup_ns=(5,)))
+        assert out[1]["keep_rep"] is False
+
+
+class TestGopherLines:
+    def test_dup_line_fracs(self, spark):
+        # 4 line occurrences, 'dup' twice: dup_line_frac = 2/4;
+        # chars: dup(3)*2 + aaaa(4) + bb(2) = 12 total, 6 duplicated
+        df = spark.createDataFrame([(1, "dup\naaaa\ndup\nbb")], "doc_id long, text string")
+        out = _rows(gopher_line_stats(df))
+        assert out[1]["n_lines"] == 4
+        assert out[1]["dup_line_frac"] == 0.5
+        assert out[1]["dup_line_char_frac"] == 0.5
+
+    def test_all_unique(self, spark):
+        df = spark.createDataFrame([(1, "a\nb\nc")], "doc_id long, text string")
+        out = _rows(gopher_line_stats(df))
+        assert out[1]["dup_line_frac"] == 0.0
+        assert out[1]["dup_line_char_frac"] == 0.0
+
+
+class TestGopherWordRules:
+    def test_stats_and_gates(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "solid normal words flowing along nicely here today okay fine"),
+                (2, "### ### 12345 67890"),  # symbols + no alpha
+                (3, "hi"),  # too few words
+            ],
+            "doc_id long, text string",
+        )
+        out = _rows(gopher_word_rules(df, min_words=5))
+        assert out[1]["word_count"] == 10
+        assert out[1]["keep"] is True
+        assert out[2]["symbol_word_ratio"] == 1.5  # six '#' chars / 4 words
+        assert out[2]["alpha_word_frac"] == 0.0
+        assert out[2]["keep"] is False
+        assert out[3]["keep"] is False
+
+    def test_mean_word_len(self, spark):
+        df = spark.createDataFrame([(1, "ab abcd")], "doc_id long, text string")
+        out = _rows(gopher_word_rules(df))
+        assert out[1]["mean_word_len"] == 3.0
+
+    def test_ellipsis_counts(self, spark):
+        df = spark.createDataFrame([(1, "wait... what... ok then")], "doc_id long, text string")
+        out = _rows(gopher_word_rules(df))
+        assert out[1]["symbol_word_ratio"] == 0.5  # 2 ellipses / 4 words
+
+
+class TestC4Filters:
+    def test_line_rules(self, spark):
+        text = "\n".join(
+            [
+                "a good proper sentence.",  # kept
+                "no terminal punctuation",  # dropped: no punct
+                "enable javascript to view.",  # dropped: javascript
+                "ok.",  # dropped: < 3 words
+                "another fine long sentence!",  # kept
+            ]
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = _rows(c4_line_filters(df))
+        assert out[1]["n_lines"] == 5
+        assert out[1]["n_kept"] == 2
+        assert out[1]["clean_text"] == "a good proper sentence.\nanother fine long sentence!"
+        assert out[1]["keep"] is True
+
+    def test_doc_poison(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "fine line number one.\nlorem ipsum dolor sit amet."),
+                (2, "fine line number one.\nvar x = { a: 1 }"),
+                (3, "nothing survives here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = _rows(c4_line_filters(df))
+        assert out[1]["keep"] is False  # lorem ipsum
+        assert out[2]["keep"] is False  # curly brace
+        assert out[3]["keep"] is False  # zero kept lines
+        assert out[3]["clean_text"] == ""
+
+
+class TestCutoffTrain:
+    def test_percentiles_match_numpy(self, spark):
+        import numpy as np
+
+        vals = [float(v) for v in (5, 1, 9, 3, 7, 2, 8, 4, 6, 10)]
+        df = spark.createDataFrame([("en", v) for v in vals], "lang string, pp double")
+        out = bucket_op.train_cutoff_matrix(df, pp_col="pp", lang_col="lang", n_points=5)
+        got = {r["pct"]: r["cutoff"] for r in out.collect()}
+        exp = np.percentile(vals, [0, 25, 50, 75, 100])
+        assert got == {i: round(float(e), 4) for i, e in enumerate(exp)}
+
+    def test_null_and_negative_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("en", 1.0), ("en", 3.0), ("en", None), ("en", -5.0)],
+            "lang string, pp double",
+        )
+        out = bucket_op.train_cutoff_matrix(df, pp_col="pp", lang_col="lang", n_points=3)
+        got = {r["pct"]: r["cutoff"] for r in out.collect()}
+        assert got == {0: 1.0, 1: 2.0, 2: 3.0}
+
+    def test_matrix_feeds_loader(self, spark, tmp_path):
+        # the trained matrix round-trips through the cc_net-style loader
+        df = spark.createDataFrame(
+            [("en", float(i)) for i in range(101)], "lang string, pp double"
+        )
+        out = bucket_op.train_cutoff_matrix(df, pp_col="pp", lang_col="lang").toPandas()
+        pivot = out.pivot(index="pct", columns="lang", values="cutoff")
+        csv = tmp_path / "matrix.csv"
+        pivot.to_csv(csv)
+        cut = bucket_op.cutoffs_from_percentile_matrix(str(csv))
+        assert cut["en"] == (30.0, 60.0)
