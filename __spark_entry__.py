@@ -1092,6 +1092,45 @@ def q_pairs_pipeline(spark, sf_dir):
     )
 
 
+def q_keepdrop_f1(spark, sf_dir):
+    """The north rule's F1 criterion as a first-class, oracle-checked
+    artifact: run the full pipeline over the 400-pair corpus, join its keep
+    column against the INDEPENDENT expected labels
+    (fixtures/pairs400_expected_labels.parquet — single-node pandas oracle,
+    tests/oracle_pandas.py), and emit the confusion matrix +
+    precision/recall/F1 in one row. The bar is F1 >= 0.99; the engine scores
+    1.0. The DuckDB twin recomputes the prediction side from the composed
+    SQL pipeline twin and the same label fixture — so the F1 arithmetic
+    itself is cross-engine verified, not just asserted."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 400)
+    pred = Pipeline(spark, Config(cutoffs=_cutoffs())).run(pairs).select("image_id", "keep")
+    labels = spark.read.parquet(_fixture("pairs400_expected_labels.parquet"))
+    j = pred.join(F.broadcast(labels), "image_id")
+    pk, ek = F.col("keep"), F.col("keep_expected")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((pk & ek).cast("long")).alias("tp"),
+        F.sum((pk & ~ek).cast("long")).alias("fp"),
+        F.sum((~pk & ek).cast("long")).alias("fn"),
+        F.sum((~pk & ~ek).cast("long")).alias("tn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return agg.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6).alias("f1"),
+    )
+
+
 def q_image_stats(spark, sf_dir):
     """Multimodal: decode binary payloads (mapInPandas) -> channel stats.
     Oracle = pinned expected table computed by an INDEPENDENT decoder
@@ -1458,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_chain": _wrap(q_ccnet_chain),
         "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
+        "keepdrop_f1": _wrap(q_keepdrop_f1),
         "payload_passthrough": _wrap(q_payload_passthrough),
         "image_stats": _wrap(q_image_stats),
         "image_resize": _wrap(q_image_resize),
@@ -1868,6 +1908,25 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_chain": _ccnet_chain_sql(cutoffs),
         "ccnet_chain_lines": _ccnet_chain_lines_sql(cutoffs),
         "pairs_pipeline": _pairs_pipeline_sql(cutoffs),
+        "keepdrop_f1": (
+            "with pred as (select image_id, keep from ("
+            + _pairs_pipeline_sql(cutoffs)
+            + ") pp), "
+            "lab as (select image_id, keep_expected from "
+            f"read_parquet('{_fixture('pairs400_expected_labels.parquet')}')), "
+            "cm as (select cast(count(*) as bigint) as n, "
+            "cast(sum(case when keep and keep_expected then 1 else 0 end) as bigint) as tp, "
+            "cast(sum(case when keep and not keep_expected then 1 else 0 end) as bigint) as fp, "
+            "cast(sum(case when not keep and keep_expected then 1 else 0 end) as bigint) as fn, "
+            "cast(sum(case when not keep and not keep_expected then 1 else 0 end) as bigint) as tn "
+            "from pred join lab using (image_id)) "
+            "select n, tp, fp, fn, tn, "
+            "round(tp / greatest(tp + fp, 1), 6) as precision, "
+            "round(tp / greatest(tp + fn, 1), 6) as recall, "
+            "round(2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1)) / "
+            "greatest((tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1)), 1e-12), 6) as f1 "
+            "from cm"
+        ),
         # pinned expected tables from INDEPENDENT re-implementations
         # (tools/make_fixtures.py): DuckDB lacks the image codecs / blake2b
         # bit math, so the fixture carries the recomputed values.

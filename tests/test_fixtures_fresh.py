@@ -66,3 +66,21 @@ def test_independent_simhash_matches_engine():
 
     for toks in ([], ["a"], "the quick brown fox".split(), ["é", "中文", "x" * 50]):
         assert mf._simhash_independent(toks) == simhash64(toks)
+
+
+def test_keepdrop_labels_fixture_fresh():
+    """Labels fixture = pandas-oracle keep column over the pairs corpus;
+    regenerate the first 60 pairs and compare (enough to cover keeps AND
+    drops: too_short rows appear well inside the first 60)."""
+    from ccnet_spark_spark.operators.bucket import load_cutoffs_dict
+    from ccnet_spark_spark.synth import gen_pandas
+    from tests.oracle_pandas import run_oracle
+
+    disk = pd.read_parquet(os.path.join(FIX, "pairs400_expected_labels.parquet"))
+    assert len(disk) == 400, STALE
+    assert 0 < disk.keep_expected.sum() < 400, STALE  # both classes present
+    pairs = gen_pandas(0, 60)[["image_id", "caption"]]
+    regen = run_oracle(pairs, cutoffs=load_cutoffs_dict())
+    by_id = dict(zip(disk["image_id"], disk["keep_expected"]))
+    for r in regen.itertuples():
+        assert by_id[r.image_id] == r.keep, STALE

@@ -49,6 +49,25 @@ def make_pairs_input(n: int = 400) -> None:
     print(f"pairs400_input.parquet: {len(df)} rows")
 
 
+def make_keepdrop_labels(n: int = 400) -> None:
+    """Expected keep/drop labels for the 400-pair corpus, computed by the
+    single-node pandas oracle (tests/oracle_pandas.py — shares the stub
+    model functions verbatim but re-derives ALL dataflow independently in
+    plain Python loops). This is the 'reference labels' side of the north
+    rule's F1 >= 0.99 criterion: q_keepdrop_f1 scores the Spark pipeline's
+    keep column against this table."""
+    from ccnet_spark_spark.operators.bucket import load_cutoffs_dict
+    from ccnet_spark_spark.synth import gen_pandas
+    from tests.oracle_pandas import run_oracle
+
+    pairs = gen_pandas(0, n)[["image_id", "caption"]]
+    out = run_oracle(pairs, cutoffs=load_cutoffs_dict())
+    lab = out[["image_id", "keep"]].rename(columns={"keep": "keep_expected"})
+    lab = lab.sort_values("image_id").reset_index(drop=True)
+    lab.to_parquet(os.path.join(FIXTURES, "pairs400_expected_labels.parquet"), index=False)
+    print(f"pairs400_expected_labels.parquet: {len(lab)} rows, {int(lab.keep_expected.sum())} keeps")
+
+
 # ---------------------------------------------------- independent image path
 def _decode_independent(data: bytes) -> np.ndarray:
     """Re-implements the ppm/qjpg FORMAT SPEC (codecs.py module doc) without
@@ -182,6 +201,7 @@ def make_simhash_expected(sf_dir: str) -> None:
 
 if __name__ == "__main__":
     make_pairs_input()
+    make_keepdrop_labels()
     make_image_stats_expected()
     make_image_resize_expected()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
