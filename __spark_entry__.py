@@ -811,6 +811,20 @@ def q_hash_sample(spark, sf_dir):
     )
 
 
+# per-language sampling rates for q_stratified_sample: downsample the head
+# language, keep one tail language whole, drop unlisted languages
+_STRATA_RATES = {"en": 64, "fr": 256, "zh": 26}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Corpus rebalancing: per-language deterministic content-hash sampling
+    (en 25%, fr all, zh ~10%, others dropped) via a broadcast rates table —
+    the big side never shuffles and the predicate rides the scan."""
+    return sample.stratified_hash_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", _STRATA_RATES, default_256=0
+    ).select("doc_id", "lang")
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Corpus TF-IDF, top-3 terms per document — the classic two-shuffle
     analytic: tf = groupBy(doc, term) count (map-side partial agg), df =
@@ -1485,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": _wrap(q_star_join),
         "pricing_summary": _wrap(q_pricing_summary),
         "hash_sample": _wrap(q_hash_sample),
+        "stratified_sample": _wrap(q_stratified_sample),
         "pack_sequences": _wrap(q_pack_sequences),
         "tfidf_topk": _wrap(q_tfidf_topk),
         "bigram_counts": _wrap(q_bigram_counts),
@@ -1851,6 +1866,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "select doc_id, lang from documents where "
             + sample.hash_sample_sql("doc_id", 26)
+        ),
+        "stratified_sample": (
+            "select doc_id, lang from documents where "
+            + sample.stratified_hash_sample_sql("doc_id", "lang", _STRATA_RATES, default_256=0)
         ),
         "pack_sequences": (
             f"select doc_id, lang, {textstats.token_count_sql('text')} as tokens, "

@@ -41,3 +41,56 @@ def hash_sample(df: DataFrame, id_col: str | Column, rate_256: int) -> DataFrame
 def hash_sample_sql(id_expr: str, rate_256: int) -> str:
     """DuckDB twin of the sampling predicate (for oracle_sql entries)."""
     return f"substr(sha256(cast({id_expr} as varchar)), 1, 2) < '{_threshold_hex(rate_256)}'"
+
+
+def _stratum_threshold_hex(rate_256: int) -> str:
+    # per-stratum rates additionally allow 256 = keep the whole stratum:
+    # 'zz' sorts after every hex prefix, so `prefix < 'zz'` is always true
+    if rate_256 == 256:
+        return "zz"
+    return _threshold_hex(rate_256)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str | Column,
+    stratum_col: str,
+    rates_256: dict[str, int],
+    default_256: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing knob a
+    training pipeline runs before tokenization (downsample the head
+    language, keep the tail languages whole). Same content-hash predicate
+    as hash_sample, but the threshold comes from a BROADCAST-joined rates
+    table keyed by stratum (per-language rate in 0..256; 0 drops the
+    stratum, 256 keeps all of it; strata absent from the dict get
+    default_256). The big side never shuffles — the join is broadcast and
+    the predicate rides the scan."""
+    spark = df.sparkSession
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    rows = [
+        (s, "00" if r == 0 else _stratum_threshold_hex(r)) for s, r in sorted(rates_256.items())
+    ]
+    rates_df = spark.createDataFrame(rows, "stratum string, _thr string")
+    default_thr = "00" if default_256 == 0 else _stratum_threshold_hex(default_256)
+    prefix = F.substring(F.sha2(c.cast("string"), 256), 1, 2)
+    joined = df.join(
+        F.broadcast(rates_df), df[stratum_col] == rates_df["stratum"], "left"
+    ).drop("stratum")
+    return joined.where(prefix < F.coalesce(F.col("_thr"), F.lit(default_thr))).drop("_thr")
+
+
+def stratified_hash_sample_sql(
+    id_expr: str, stratum_expr: str, rates_256: dict[str, int], default_256: int = 0
+) -> str:
+    """DuckDB twin: the rates table folded into a CASE chain (identical
+    semantics — the broadcast join IS a lookup table)."""
+
+    def thr(r: int) -> str:
+        return "00" if r == 0 else _stratum_threshold_hex(r)
+
+    arms = " ".join(f"when {stratum_expr} = '{s}' then '{thr(r)}'" for s, r in sorted(rates_256.items()))
+    return (
+        f"substr(sha256(cast({id_expr} as varchar)), 1, 2) < "
+        f"(case {arms} else '{thr(default_256)}' end)"
+    )

@@ -162,3 +162,36 @@ class TestCutoffTrain:
         pivot.to_csv(csv)
         cut = bucket_op.cutoffs_from_percentile_matrix(str(csv))
         assert cut["en"] == (30.0, 60.0)
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, spark):
+        from ccnet_spark_spark.operators.sample import stratified_hash_sample
+
+        rows = [(i, ["en", "fr", "zh", "de"][i % 4]) for i in range(800)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = stratified_hash_sample(df, "doc_id", "lang", {"en": 128, "fr": 256, "zh": 26})
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts["fr"] == 200          # rate 256 keeps the whole stratum
+        assert "de" not in counts           # default 0 drops unlisted strata
+        assert 60 <= counts["en"] <= 140    # ~50% of 200
+        assert 0 < counts["zh"] <= 50       # ~10% of 200
+        # determinism: same ids selected on a re-run
+        again = stratified_hash_sample(df, "doc_id", "lang", {"en": 128, "fr": 256, "zh": 26})
+        assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+    def test_subset_of_unstratified(self, spark):
+        # stratified at rate r selects exactly hash_sample(r) within the stratum
+        from ccnet_spark_spark.operators.sample import hash_sample, stratified_hash_sample
+
+        df = spark.createDataFrame([(i, "en") for i in range(500)], "doc_id long, lang string")
+        strat = {r.doc_id for r in stratified_hash_sample(df, "doc_id", "lang", {"en": 26}).collect()}
+        plain = {r.doc_id for r in hash_sample(df, "doc_id", 26).collect()}
+        assert strat == plain
+
+    def test_bad_rate_rejected(self, spark):
+        from ccnet_spark_spark.operators.sample import stratified_hash_sample
+
+        df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+        with pytest.raises(ValueError):
+            stratified_hash_sample(df, "doc_id", "lang", {"en": 300})
