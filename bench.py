@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "inverted_index",
     "pack_sequences",
+    "gopher_ngrams",
+    "gopher_rules",
+    "c4_filters",
+    "cutoff_train",
+    "stratified_sample",
     "ccnet_chain",
     "ccnet_chain_lines",
 ]

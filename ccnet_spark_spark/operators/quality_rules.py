@@ -94,8 +94,14 @@ def gopher_ngram_stats(
         F.length(F.array_join(F.col("_toks"), " ")).alias("_total_chars"),
         # single-arg closures only: a two-arg lambda (e.g. `lambda g, n=n`)
         # makes F.transform pass the ELEMENT INDEX as the second argument,
-        # silently overriding the default and mis-tagging every gram
-        F.concat(*[_tag_grams(n) for n in ns]).alias("_grams"),
+        # silently overriding the default and mis-tagging every gram.
+        # The (0, '') sentinel keeps zero-gram docs flowing through the
+        # aggregation (n=0 matches no conditional agg), avoiding a whole
+        # extra join-back shuffle just to resurrect them.
+        F.concat(
+            F.array(F.struct(F.lit(0).alias("n"), F.lit("").alias("gram"))),
+            *[_tag_grams(n) for n in ns],
+        ).alias("_grams"),
     )
     counts = (
         base.select(id_col, "_total_chars", F.explode("_grams").alias("_g"))
@@ -126,26 +132,6 @@ def gopher_ngram_stats(
             ).alias(f"dup_{n}gram_char_frac")
         )
     out = counts.groupBy(id_col).agg(*aggs)
-    # docs with zero grams of every size never reach the explode: left-join back
-    out = (
-        df.select(id_col)
-        .join(out, id_col, "left")
-        .select(
-            id_col,
-            *[
-                F.coalesce(F.col(f"top_{n}gram_char_frac"), F.lit(0.0)).alias(
-                    f"top_{n}gram_char_frac"
-                )
-                for n in top_ns
-            ],
-            *[
-                F.coalesce(F.col(f"dup_{n}gram_char_frac"), F.lit(0.0)).alias(
-                    f"dup_{n}gram_char_frac"
-                )
-                for n in dup_ns
-            ],
-        )
-    )
     keep = F.lit(True)
     for n in top_ns:
         keep = keep & (F.col(f"top_{n}gram_char_frac") <= TOP_NGRAM_MAX.get(n, 0.16))
@@ -166,37 +152,31 @@ def gopher_ngram_stats_sql(
     gram_lists = " || ".join(
         f"list_transform({_shingles_sql('toks', n)}, g -> {{'n': {n}, 'gram': g}})" for n in ns
     )
-    top_cols, dup_cols, keep_terms = [], [], []
+    stat_cols, keep_terms = [], []
     for n in top_ns:
-        top_cols.append(
+        stat_cols.append(
             f"round(coalesce(max(case when n = {n} then chars end), 0)"
             f" / greatest(any_value(total_chars), 1), 4) as top_{n}gram_char_frac"
         )
-        keep_terms.append(f"coalesce(s.top_{n}gram_char_frac, 0.0) <= {TOP_NGRAM_MAX.get(n, 0.16)}")
+        keep_terms.append(f"top_{n}gram_char_frac <= {TOP_NGRAM_MAX.get(n, 0.16)}")
     for n in dup_ns:
-        dup_cols.append(
+        stat_cols.append(
             f"round(least(1.0, coalesce(sum(case when n = {n} and cnt >= 2 then chars end), 0)"
             f" / greatest(any_value(total_chars), 1)), 4) as dup_{n}gram_char_frac"
         )
-        keep_terms.append(f"coalesce(s.dup_{n}gram_char_frac, 0.0) <= {DUP_NGRAM_MAX.get(n, 0.10)}")
-    frac_names = [f"top_{n}gram_char_frac" for n in top_ns] + [
-        f"dup_{n}gram_char_frac" for n in dup_ns
-    ]
+        keep_terms.append(f"dup_{n}gram_char_frac <= {DUP_NGRAM_MAX.get(n, 0.10)}")
+    # the (0, '') sentinel keeps zero-gram docs in the aggregation (mirrors
+    # the Spark plan — no join-back); keep_rep uses lateral alias references
     return (
         f"with base as (select {id_col}, {toks} as toks from {table}), "
         f"tagged as (select {id_col}, length(array_to_string(toks, ' ')) as total_chars, "
-        f"unnest({gram_lists}) as g from base), "
+        f"unnest([{{'n': 0, 'gram': ''}}] || {gram_lists}) as g from base), "
         f"counts as (select {id_col}, total_chars, g.n as n, g.gram as gram, "
         f"count(*) as cnt, count(*) * length(g.gram) as chars "
-        f"from tagged group by {id_col}, total_chars, g.n, g.gram), "
-        f"stats as (select {id_col}, {', '.join(top_cols + dup_cols)} "
-        f"from counts group by {id_col}) "
-        f"select b.{id_col}, "
-        + ", ".join(f"coalesce(s.{c}, 0.0) as {c}" for c in frac_names)
-        + ", "
+        f"from tagged group by {id_col}, total_chars, g.n, g.gram) "
+        f"select {id_col}, {', '.join(stat_cols)}, "
         + " and ".join(keep_terms)
-        + f" as keep_rep from (select {id_col} from {table}) b "
-        f"left join stats s using ({id_col})"
+        + f" as keep_rep from counts group by {id_col}"
     )
 
 
