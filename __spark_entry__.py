@@ -977,6 +977,30 @@ def _c4_planted_sql() -> str:
     )
 
 
+def q_quality_chain(spark, sf_dir):
+    """The composed production filter: ccnet chain verdict (min_len + line
+    dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
+    repetition gates, one row per document with the per-family flags and the
+    final keep — the \"run every rule in one pass\" shape a real corpus job
+    ships. Each family is already unit-oracle-checked; this composition is
+    oracle-checked END-TO-END (the DuckDB twin joins the three family
+    twins)."""
+    chain = q_ccnet_chain(spark, sf_dir).select(
+        "doc_id", "bucket", F.col("keep").alias("chain_keep")
+    )
+    words = q_gopher_rules(spark, sf_dir).select("doc_id", F.col("keep").alias("word_keep"))
+    reps = q_gopher_ngrams(spark, sf_dir).select("doc_id", "keep_rep")
+    out = chain.join(words, "doc_id").join(reps, "doc_id")
+    return out.select(
+        "doc_id",
+        "bucket",
+        "chain_keep",
+        "word_keep",
+        "keep_rep",
+        (F.col("chain_keep") & F.col("word_keep") & F.col("keep_rep")).alias("final_keep"),
+    )
+
+
 def q_cutoff_train(spark, sf_dir):
     """The offline cutoff-training step the reference's cutoff.csv comes
     from: per-language 101-point perplexity percentile matrix computed from
@@ -1509,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _wrap(q_gopher_rules),
         "c4_filters": _wrap(q_c4_filters),
         "cutoff_train": _wrap(q_cutoff_train),
+        "quality_chain": _wrap(q_quality_chain),
         "ccnet_chain": _wrap(q_ccnet_chain),
         "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
@@ -1923,6 +1948,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cutoff_train": bucket_op.train_cutoff_matrix_sql(
             "documents", _pp_sql("text"), "lang"
+        ),
+        "quality_chain": (
+            "with chain as (select doc_id, bucket, keep as chain_keep from ("
+            + _ccnet_chain_sql(cutoffs)
+            + ") c), "
+            "words as (select doc_id, keep as word_keep from ("
+            + quality_rules.gopher_word_rules_sql("documents", "doc_id", "text", min_words=40)
+            + ") w), "
+            "reps as (select doc_id, keep_rep from ("
+            + quality_rules.gopher_ngram_stats_sql(
+                "documents", "doc_id", "text", top_ns=(2, 3), dup_ns=(5,)
+            )
+            + ") r) "
+            "select doc_id, bucket, chain_keep, word_keep, keep_rep, "
+            "chain_keep and word_keep and keep_rep as final_keep "
+            "from chain join words using (doc_id) join reps using (doc_id)"
         ),
         "ccnet_chain": _ccnet_chain_sql(cutoffs),
         "ccnet_chain_lines": _ccnet_chain_lines_sql(cutoffs),
