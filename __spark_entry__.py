@@ -977,6 +977,54 @@ def _c4_planted_sql() -> str:
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: an eval set (every 50th doc) + planted
+    leaked copies of it are removed from the corpus by shared-8-gram
+    anti-join — eval grams broadcast, corpus never self-compared. The
+    planted copies (doc_id+300000) MUST vanish; ordinary docs survive."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    eval_set = docs.where(F.col("doc_id") % 50 == 0)
+    planted = eval_set.select((F.col("doc_id") + 300000).alias("doc_id"), "lang", "text")
+    corpus = docs.union(planted)
+    return dedup.decontaminate(corpus, eval_set, "doc_id", "text", shingle_n=8).select(
+        "doc_id", "lang"
+    )
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot ingestion dedup: a new batch (docs >= 250 plus planted
+    re-ingestions of 20 already-committed docs) anti-joins the committed
+    corpus (docs < 250) on normalized text hash, then keep-min dedups
+    within itself — the sidecar-resume protocol's append-ready load."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    corpus = docs.where(F.col("doc_id") < 250)
+    planted = corpus.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "lang", "text"
+    )
+    batch = docs.where(F.col("doc_id") >= 250).union(planted)
+    return dedup.incremental_dedup(batch, corpus, "doc_id", "text").select("doc_id", "lang")
+
+
+def q_selfcal_bucket(spark, sf_dir):
+    """Self-calibrating bucketing — cc_net's ACTUAL workflow in one job:
+    train the per-language percentile cutoff matrix from the corpus
+    (train_cutoff_matrix), take the reference's head=p30 / tail=p60 rows,
+    and bucket the same corpus with the freshly-trained broadcast cutoffs.
+    Proves the trainer's artifact is consumable by the bucketing operator
+    (shape parity with fixtures/cutoffs.csv), end-to-end oracle-checked."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    t = tokenize.with_tokenized(docs, "text")
+    p = perplexity.with_perplexity(t, "tokenized")
+    p = p.withColumn("pp", F.round(F.col("perplexity").cast("double"), 1))
+    matrix = bucket_op.train_cutoff_matrix(p, pp_col="pp", lang_col="lang")
+    cut = matrix.groupBy("lang").agg(
+        F.max(F.when(F.col("pct") == 30, F.col("cutoff"))).alias("pp_head"),
+        F.max(F.when(F.col("pct") == 60, F.col("cutoff"))).alias("pp_tail"),
+    )
+    out = bucket_op.with_bucket(p, cut, pp_col="pp")
+    return out.select("doc_id", "lang", "pp", "bucket")
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -1534,6 +1582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _wrap(q_c4_filters),
         "cutoff_train": _wrap(q_cutoff_train),
         "quality_chain": _wrap(q_quality_chain),
+        "decontaminate": _wrap(q_decontaminate),
+        "incremental_dedup": _wrap(q_incremental_dedup),
+        "selfcal_bucket": _wrap(q_selfcal_bucket),
         "ccnet_chain": _wrap(q_ccnet_chain),
         "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
@@ -1948,6 +1999,39 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cutoff_train": bucket_op.train_cutoff_matrix_sql(
             "documents", _pp_sql("text"), "lang"
+        ),
+        "decontaminate": (
+            "with corpus as (select doc_id, lang, text from documents "
+            "union all select doc_id + 300000 as doc_id, lang, text from documents "
+            "where doc_id % 50 = 0), "
+            "eval_set as (select text from documents where doc_id % 50 = 0), "
+            + dedup.decontaminate_sql("corpus", "eval_set", "doc_id", "text", shingle_n=8)
+            + " select doc_id, lang from decontaminated"
+        ),
+        "incremental_dedup": (
+            "with corpus as (select doc_id, lang, text from documents where doc_id < 250), "
+            "batch as (select doc_id, lang, text from documents where doc_id >= 250 "
+            "union all select doc_id + 300000 as doc_id, lang, text from documents "
+            "where doc_id < 20), "
+            f"bh as (select doc_id, lang, {hashing.line_hash_sql(norm)} as hv from batch), "
+            f"ch as (select distinct {hashing.line_hash_sql(norm)} as hv from corpus), "
+            "fresh as (select doc_id, lang, hv from bh "
+            "where not exists (select 1 from ch where ch.hv = bh.hv)) "
+            "select doc_id, lang from fresh "
+            "qualify row_number() over (partition by hv order by doc_id) = 1"
+        ),
+        "selfcal_bucket": (
+            "with matrix as (select * from ("
+            + bucket_op.train_cutoff_matrix_sql("documents", _pp_sql("text"), "lang")
+            + ") tm), "
+            "cut as (select lang, max(case when pct = 30 then cutoff end) as pp_head, "
+            "max(case when pct = 60 then cutoff end) as pp_tail from matrix group by lang), "
+            f"src as (select doc_id, lang, {_pp_sql('text')} as pp from documents) "
+            "select s.doc_id, s.lang, s.pp, "
+            "case when s.pp is null or s.pp < 0 or c.pp_head is null then 'all' "
+            "when s.pp < c.pp_head then 'head' when s.pp < c.pp_tail then 'middle' "
+            "else 'tail' end as bucket "
+            "from src s left join cut c using (lang)"
         ),
         "quality_chain": (
             "with chain as (select doc_id, bucket, keep as chain_keep from ("

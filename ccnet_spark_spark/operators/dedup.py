@@ -23,7 +23,7 @@ Document-level (training-data additions, scale path for 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -335,3 +335,93 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: in
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    shingle_n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — the standard training-data hygiene step
+    (drop any training document sharing a word n-gram with an evaluation
+    set; GPT-3 appendix C / Llama-style, typically n = 8..13). Published
+    upstream pipelines run this right after dedup; the reference predates
+    the practice, so this extends its filter family.
+
+    Shape: the eval side collapses to a DISTINCT n-gram set — benchmarks
+    are tiny relative to a 10^12-row corpus, so it is BROADCAST
+    (broadcast_eval=False falls back to a shuffle join for oversized eval
+    suites); the corpus side explodes shingles (narrow (id, gram)
+    projection — the payload never explodes), inner-joins the gram set,
+    and the hit ids anti-join the full rows. The corpus is never compared
+    against itself — cost is O(corpus grams) + one anti-join."""
+    etext = eval_text_col or text_col
+    norm = lambda c: F.split(F.lower(F.trim(c)), r"\s+")  # noqa: E731
+    eval_grams = (
+        eval_df.select(
+            F.explode(hashing.word_shingles_expr(norm(F.col(etext)), n=shingle_n)).alias("_gram")
+        )
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(hashing.word_shingles_expr(norm(F.col(text_col)), n=shingle_n)).alias("_gram"),
+    )
+    hit_ids = doc_grams.join(eval_grams, "_gram").select(id_col).distinct()
+    return df.join(hit_ids, id_col, "left_anti")
+
+
+def decontaminate_sql(
+    corpus_rel: str,
+    eval_rel: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+) -> str:
+    """DuckDB twin as a WITH body (caller selects from `decontaminated`)."""
+    toks = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    gram = " || ' ' || ".join(f"list_extract(toks, i + {j + 1})" for j in range(shingle_n))
+    shingles = (
+        f"case when len(toks) >= {shingle_n} then "
+        f"list_transform(range(0, len(toks) - {shingle_n - 1}), i -> {gram}) else [] end"
+    )
+    return (
+        f"eval_grams as (select distinct unnest({shingles}) as gram "
+        f"from (select {toks} as toks from {eval_rel}) e), "
+        f"doc_grams as (select {id_col}, unnest({shingles}) as gram "
+        f"from (select {id_col}, {toks} as toks from {corpus_rel}) d), "
+        f"hits as (select distinct {id_col} from doc_grams join eval_grams using (gram)), "
+        f"decontaminated as (select c.* from {corpus_rel} c "
+        f"where not exists (select 1 from hits h where h.{id_col} = c.{id_col}))"
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_algo: str = "sha2",
+) -> DataFrame:
+    """Cross-snapshot exact dedup: drop new-batch documents whose normalized
+    text hash already exists in the ingested corpus — the ingestion-time
+    variant of exact_dedup that the checkpoint/resume protocol
+    (sources/tables.py sidecar) implies: each incremental load dedups
+    against everything already committed, touching only the NEW batch plus
+    one hash-projection scan of the corpus (never re-deduping the corpus
+    against itself). Also dedups within the batch (keep-min), so the result
+    is append-ready."""
+    def hashed(df: DataFrame) -> Column:
+        return hashing.line_hash_expr(normalize_for_dedup_expr(F.col(text_col)), algo=hash_algo)
+
+    batch_h = batch.withColumn("_hv", hashed(batch))
+    corpus_h = corpus.select(hashed(corpus).alias("_hv"))
+    fresh = batch_h.join(corpus_h, "_hv", "left_anti")
+    keep_min = fresh.groupBy("_hv").agg(F.min(F.col(id_col)).alias(id_col)).select(id_col)
+    return batch.join(keep_min, id_col, "left_semi")

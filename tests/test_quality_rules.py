@@ -195,3 +195,66 @@ class TestStratifiedSample:
         df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
         with pytest.raises(ValueError):
             stratified_hash_sample(df, "doc_id", "lang", {"en": 300})
+
+
+class TestDecontaminate:
+    def test_leaked_docs_dropped(self, spark):
+        from ccnet_spark_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),       # clean
+                (2, "the quick brown fox jumps over lazy dogs"),  # = eval doc
+                (3, "totally unrelated words live here friends"), # clean
+                (4, "padding quick brown fox jumps over lazy dogs trailing"),  # shares 8-gram? no: 'quick..dogs' is 7 words
+            ],
+            "doc_id long, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over lazy dogs")], "doc_id long, text string"
+        )
+        out = {r.doc_id for r in decontaminate(corpus, eval_df, "doc_id", "text", shingle_n=8).collect()}
+        assert out == {1, 3, 4}
+
+    def test_partial_overlap_hits(self, spark):
+        from ccnet_spark_spark.operators.dedup import decontaminate
+
+        # doc embeds the full 8-gram inside longer text -> dropped
+        corpus = spark.createDataFrame(
+            [(1, "intro words then the quick brown fox jumps over lazy dogs outro")],
+            "doc_id long, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(9, "the quick brown fox jumps over lazy dogs")], "doc_id long, text string"
+        )
+        assert decontaminate(corpus, eval_df, "doc_id", "text", shingle_n=8).count() == 0
+
+    def test_short_eval_docs_contribute_nothing(self, spark):
+        from ccnet_spark_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame([(1, "tiny words")], "doc_id long, text string")
+        eval_df = spark.createDataFrame([(9, "tiny words")], "doc_id long, text string")
+        # both under 8 tokens: no shingles, nothing dropped
+        assert decontaminate(corpus, eval_df, "doc_id", "text", shingle_n=8).count() == 1
+
+
+class TestIncrementalDedup:
+    def test_committed_and_within_batch_dups(self, spark):
+        from ccnet_spark_spark.operators.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "already committed text"), (2, "another committed doc")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "a genuinely new document"),
+                (11, "already committed text"),     # dup of corpus -> dropped
+                (12, "batch internal duplicate"),
+                (13, "batch internal duplicate"),   # within-batch -> keep min id
+                (14, "ALREADY Committed TEXT"),     # case-normalized dup -> dropped
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id for r in incremental_dedup(batch, corpus, "doc_id", "text").collect()}
+        assert out == {10, 12}
