@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "c4_filters",
     "cutoff_train",
     "stratified_sample",
+    "decontaminate",
+    "incremental_dedup",
+    "selfcal_bucket",
+    "quality_chain",
     "ccnet_chain",
     "ccnet_chain_lines",
 ]

@@ -360,19 +360,25 @@ def decontaminate(
     and the hit ids anti-join the full rows. The corpus is never compared
     against itself — cost is O(corpus grams) + one anti-join."""
     etext = eval_text_col or text_col
-    norm = lambda c: F.split(F.lower(F.trim(c)), r"\s+")  # noqa: E731
-    eval_grams = (
-        eval_df.select(
-            F.explode(hashing.word_shingles_expr(norm(F.col(etext)), n=shingle_n)).alias("_gram")
+
+    # materialize the token array in its own select BEFORE the shingle
+    # transform: passing the split() expression straight into
+    # word_shingles_expr inlines it into every element_at of every lambda
+    # element — O(shingle_n x tokens) re-splits per row (measured 20 s vs
+    # 1.4 s on 5k docs at n=8)
+    def _grams(frame: DataFrame, cols: list[str], text: str) -> DataFrame:
+        toked = frame.select(
+            *cols, F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("_toks")
         )
-        .distinct()
-    )
+        return toked.select(
+            *cols,
+            F.explode(hashing.word_shingles_expr(F.col("_toks"), n=shingle_n)).alias("_gram"),
+        )
+
+    eval_grams = _grams(eval_df, [], etext).distinct()
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode(hashing.word_shingles_expr(norm(F.col(text_col)), n=shingle_n)).alias("_gram"),
-    )
+    doc_grams = _grams(df, [id_col], text_col)
     hit_ids = doc_grams.join(eval_grams, "_gram").select(id_col).distinct()
     return df.join(hit_ids, id_col, "left_anti")
 

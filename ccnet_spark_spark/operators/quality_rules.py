@@ -53,14 +53,6 @@ def _shingles_sql(toks: str, n: int) -> str:
 
 
 # ---------------------------------------------------------------- n-grams
-def _tag_grams(n: int):
-    """(n, gram) structs for the size-n shingles of the `_toks` column."""
-    return F.transform(
-        word_shingles_expr(F.col("_toks"), n),
-        lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
-    )
-
-
 def gopher_ngram_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -80,32 +72,45 @@ def gopher_ngram_stats(
       uses at scale); documented so the threshold semantics are explicit.
     - keep_rep: true iff every statistic is at or under its Gopher threshold.
 
-    Shape: one explode over all requested n sizes at once (tagged structs) ->
-    groupBy (doc, n, gram) count -> conditional re-aggregation per doc. Two
-    shuffles, the second over <= |docs| x |ns| rows; no per-doc quadratic
-    lambda, so arbitrarily long documents stay O(tokens)."""
+    Shape: one plain explode PER n size, unioned (narrow — union adds no
+    shuffle), then groupBy (doc, n, gram) count and a conditional
+    re-aggregation per doc. Two shuffles, the second over <= |docs| x |ns|
+    rows; no per-doc quadratic lambda, so arbitrarily long documents stay
+    O(tokens). A (0, '') sentinel branch keeps zero-gram docs flowing
+    through the aggregation (n=0 matches no conditional agg), avoiding a
+    join-back shuffle to resurrect them.
+
+    Measured pitfall (sf0.1, 5000 docs, local[32]): the tempting
+    single-explode alternative — explode(concat(transform(shingles(n),
+    g -> struct(n, g)) for n in ns)) — runs ~30 s vs ~2 s for this shape;
+    exploding a concat of struct-tagging lambda transforms defeats codegen
+    (Catalyst re-inlines the nested lambda subtrees), while a generator
+    over a plain shingle array stays fast. Don't \"optimize\" this back
+    into one scan without re-measuring."""
     ns = sorted(set(top_ns) | set(dup_ns))
     toks = _toks(F.col(text_col))
-    base = df.select(
-        F.col(id_col),
-        toks.alias("_toks"),
-    ).select(
-        id_col,
-        F.length(F.array_join(F.col("_toks"), " ")).alias("_total_chars"),
-        # single-arg closures only: a two-arg lambda (e.g. `lambda g, n=n`)
-        # makes F.transform pass the ELEMENT INDEX as the second argument,
-        # silently overriding the default and mis-tagging every gram.
-        # The (0, '') sentinel keeps zero-gram docs flowing through the
-        # aggregation (n=0 matches no conditional agg), avoiding a whole
-        # extra join-back shuffle just to resurrect them.
-        F.concat(
-            F.array(F.struct(F.lit(0).alias("n"), F.lit("").alias("gram"))),
-            *[_tag_grams(n) for n in ns],
-        ).alias("_grams"),
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.length(F.array_join(F.col("_toks"), " ")).alias("_total_chars")
     )
+    branches = [
+        base.select(
+            id_col, "_total_chars", F.lit(0).alias("_n"), F.lit("").alias("_gram")
+        )
+    ]
+    for n in ns:
+        branches.append(
+            base.select(
+                id_col,
+                "_total_chars",
+                F.lit(n).alias("_n"),
+                F.explode(word_shingles_expr(F.col("_toks"), n)).alias("_gram"),
+            )
+        )
+    exploded = branches[0]
+    for b in branches[1:]:
+        exploded = exploded.union(b)
     counts = (
-        base.select(id_col, "_total_chars", F.explode("_grams").alias("_g"))
-        .groupBy(id_col, "_total_chars", F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram"))
+        exploded.groupBy(id_col, "_total_chars", "_n", "_gram")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .withColumn("_chars", F.col("_cnt") * F.length("_gram"))
     )
