@@ -140,3 +140,41 @@ def test_no_contract_query_plans_cartesian(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders[name] = True
     assert not offenders, f"cartesian/nested-loop joins in: {sorted(offenders)}"
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-gram set must broadcast (benchmarks are tiny vs a 10^12-row
+    corpus) and the corpus must never self-join."""
+    from ccnet_spark_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon zeta eta theta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, "alpha beta gamma delta epsilon zeta eta theta")],
+                               "doc_id long, text string")
+    plan = _plan(decontaminate(corpus, ev, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    from ccnet_spark_spark.operators.sample import stratified_hash_sample
+
+    df = spark.createDataFrame([(i, "en") for i in range(100)], "doc_id long, lang string")
+    plan = _plan(stratified_hash_sample(df, "doc_id", "lang", {"en": 26}))
+    assert "BroadcastHashJoin" in plan
+    # the big side must not shuffle: only broadcast exchanges allowed
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning", plan)
+
+
+def test_gopher_ngrams_has_no_join(spark):
+    """The sentinel-branch design replaced the zero-gram join-back; the plan
+    must be pure scan -> union -> two aggregation exchanges, no join."""
+    from ccnet_spark_spark.operators.quality_rules import gopher_ngram_stats
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = _plan(gopher_ngram_stats(df))
+    assert "Join" not in plan
