@@ -40,7 +40,7 @@ class TestGopherNgrams:
         # note: 0.48 > 0.20 -> even a UNIQUE long 2-gram trips the threshold
         # on a tiny doc; Gopher's thresholds assume page-length text
         assert out[1]["keep_rep"] is False
-        # shingle-less docs survive with zeroed stats (left-join back)
+        # shingle-less docs survive with zeroed stats (sentinel branch)
         assert out[2]["top_2gram_char_frac"] == 0.0
         assert out[3]["keep_rep"] is True
 
@@ -258,3 +258,44 @@ class TestIncrementalDedup:
         )
         out = {r.doc_id for r in incremental_dedup(batch, corpus, "doc_id", "text").collect()}
         assert out == {10, 12}
+
+
+class TestEmptyInputs:
+    """Every new operator must return an empty (not crashing) result on an
+    empty input — partitions are routinely empty at scale."""
+
+    def _empty(self, spark, schema="doc_id long, text string"):
+        return spark.createDataFrame([], schema)
+
+    def test_gopher_ops_empty(self, spark):
+        from ccnet_spark_spark.operators.quality_rules import (
+            c4_line_filters,
+            gopher_line_stats,
+            gopher_ngram_stats,
+            gopher_word_rules,
+        )
+
+        e = self._empty(spark)
+        assert gopher_ngram_stats(e).count() == 0
+        assert gopher_line_stats(e).count() == 0
+        assert gopher_word_rules(e).count() == 0
+        assert c4_line_filters(e).count() == 0
+
+    def test_dedup_ops_empty(self, spark):
+        from ccnet_spark_spark.operators.dedup import decontaminate, incremental_dedup
+
+        e = self._empty(spark)
+        docs = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+        assert decontaminate(e, docs, "doc_id", "text").count() == 0
+        assert decontaminate(docs, e, "doc_id", "text").count() == 1  # empty eval: keep all
+        assert incremental_dedup(e, docs, "doc_id", "text").count() == 0
+        assert incremental_dedup(docs, e, "doc_id", "text").count() == 1
+
+    def test_trainer_and_sampler_empty(self, spark):
+        from ccnet_spark_spark.operators.bucket import train_cutoff_matrix
+        from ccnet_spark_spark.operators.sample import stratified_hash_sample
+
+        e = spark.createDataFrame([], "lang string, pp double")
+        assert train_cutoff_matrix(e, pp_col="pp", lang_col="lang").count() == 0
+        e2 = self._empty(spark, "doc_id long, lang string")
+        assert stratified_hash_sample(e2, "doc_id", "lang", {"en": 26}).count() == 0
