@@ -481,6 +481,27 @@ def q_dup_clusters(spark, sf_dir):
     return dup_clusters(docs, cand, "doc_id")
 
 
+def q_cluster_canonical(spark, sf_dir):
+    """Policy-driven canonical selection: near-dedup keeps the BEST document
+    of each duplicate cluster, not the min id — per cluster (connected
+    components over LSH candidates) pick the member with max quality score,
+    ties to the lower id. One max_by aggregation over the labeled docs
+    (struct ordering carries the tie-break); the DuckDB twin re-derives
+    clusters with its independent recursive CTE and selects via a window."""
+    from ccnet_spark_spark.operators.graph import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    cand = dedup.minhash_lsh_candidates(sigs, "doc_id", num_bands=4, rows_per_band=2)
+    labeled = dup_clusters(docs, cand, "doc_id").join(
+        docs.select("doc_id", textstats.quality_score_expr("text").alias("_q")), "doc_id"
+    )
+    return labeled.groupBy("cluster").agg(
+        F.expr("max_by(doc_id, struct(_q, -doc_id))").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     # exact n-gram Jaccard similar pairs — EXACTNESS BASELINE ONLY (raw
     # shared-shingle self-join, quadratic within shingle buckets); the
@@ -1178,6 +1199,24 @@ def q_pairs_pipeline(spark, sf_dir):
     )
 
 
+def q_phash_neardup(spark, sf_dir):
+    """IMAGE near-dup via perceptual hash: bucket the pairs table's phash
+    column by its top 16 bits, verify candidates by popcount(xor) <= 8 —
+    near-identical images differ in a few phash bits while random 64-bit
+    hashes never collide, so 20 planted low-bit-flipped copies (hamming 3)
+    are the expected pairs. Same bucket-then-verify shape as simhash, over
+    a fingerprint that ARRIVES with the data (no decode in the hot path)."""
+    from ccnet_spark_spark.synth import generate_pairs
+
+    base = generate_pairs(spark, 400).select("image_id", "phash")
+    planted = base.where(F.col("image_id") < "img0000000020").select(
+        F.concat(F.col("image_id"), F.lit("_dup")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
+    )
+    corpus = base.union(planted)
+    return dedup.hash64_neardup_pairs(corpus, "image_id", "phash", prefix_bits=16, max_hamming=8)
+
+
 def q_keepdrop_f1(spark, sf_dir):
     """The north rule's F1 criterion as a first-class, oracle-checked
     artifact: run the full pipeline over the 400-pair corpus, join its keep
@@ -1550,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _wrap(q_minhash_pairs),
         "minhash_dedup": _wrap(q_minhash_dedup),
         "dup_clusters": _wrap(q_dup_clusters),
+        "cluster_canonical": _wrap(q_cluster_canonical),
         "jaccard_pairs": _wrap(q_jaccard_pairs),
         "lsh_then_jaccard": _wrap(q_lsh_then_jaccard),
         "lsh_jaccard_xxhash": _wrap(q_lsh_jaccard_xxhash),
@@ -1589,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
         "keepdrop_f1": _wrap(q_keepdrop_f1),
+        "phash_neardup": _wrap(q_phash_neardup),
         "payload_passthrough": _wrap(q_payload_passthrough),
         "image_stats": _wrap(q_image_stats),
         "image_resize": _wrap(q_image_resize),
@@ -1758,6 +1799,23 @@ def oracle_sql() -> dict[str, str]:
             "lbl as (select node, least(min(r), node) as cluster from reach group by node) "
             "select d.doc_id, coalesce(l.cluster, d.doc_id) as cluster "
             "from documents d left join lbl l on l.node = d.doc_id"
+        ),
+        "cluster_canonical": (
+            f"{sig_cte.replace('with sigs', 'with recursive sigs', 1)}, "
+            "cand as (select distinct a.doc_id as id_a, b.doc_id as id_b "
+            "from bands a join bands b using (band_key) where a.doc_id < b.doc_id), "
+            "edges as (select id_a as u, id_b as v from cand "
+            "union select id_b as u, id_a as v from cand), "
+            "reach as (select u as node, v as r from edges "
+            "union select e.u as node, reach.r from edges e join reach on e.v = reach.node), "
+            "lbl as (select node, least(min(r), node) as cluster from reach group by node), "
+            "labeled as (select d.doc_id, coalesce(l.cluster, d.doc_id) as cluster, "
+            + textstats.quality_score_sql("d.text")
+            + " as q from documents d left join lbl l on l.node = d.doc_id) "
+            "select cluster, doc_id as canonical_id, n_members from ("
+            "select cluster, doc_id, cast(count(*) over (partition by cluster) as bigint) as n_members, "
+            "row_number() over (partition by cluster order by q desc, doc_id asc) as rn "
+            "from labeled) where rn = 1"
         ),
         "lsh_then_jaccard": (
             f"{sig_cte}, "
@@ -2088,6 +2146,20 @@ def oracle_sql() -> dict[str, str]:
         "simhash": (
             f"select doc_id, simhash from read_parquet('{_simhash_fixture()}') "
             "where doc_id < 100000"
+        ),
+        "phash_neardup": (
+            f"with base as (select image_id, phash from "
+            f"read_parquet('{_fixture('pairs400_phash.parquet')}')), "
+            "corpus as (select * from base union all "
+            "select image_id || '_dup' as image_id, xor(phash, 5) as phash "
+            "from base where image_id < 'img0000000020') "
+            "select id_a, id_b, hamming from ("
+            "select a.image_id as id_a, b.image_id as id_b, "
+            "cast(bit_count(xor(a.phash, b.phash)) as bigint) as hamming "
+            "from corpus a join corpus b on a.image_id < b.image_id "
+            # top-16-bucket equality == shiftrightunsigned(h, 48) equality
+            f"and (xor(a.phash, b.phash) & ({-(1 << 48)})::bigint) = 0"
+            ") where hamming <= 8"
         ),
         "simhash_neardup": (
             f"with f as (select doc_id, simhash from read_parquet('{_simhash_fixture()}')) "

@@ -249,11 +249,28 @@ def simhash_neardup_pairs(
     (pass a pre-normalized column for dedup-grade matching)."""
     simhash_udf = hashing.make_simhash_udf()
     hashed = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
-    bucketed = hashed.withColumn(
-        "_bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    return hash64_neardup_pairs(hashed, id_col, "simhash", prefix_bits, max_hamming)
+
+
+def hash64_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    prefix_bits: int = 16,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Radius near-dup pairs over ANY precomputed 64-bit fingerprint column
+    — the same bucket-then-verify shape simhash_neardup_pairs uses, exposed
+    for fingerprints that arrive with the data: perceptual IMAGE hashes
+    (the pairs table's phash column — near-identical images differ in a few
+    phash bits), content-defined chunk hashes, etc. Bucket by the top
+    prefix_bits (equi-join prunes the pair space; never all-pairs), verify
+    by exact popcount(xor) <= max_hamming in pure JVM bit ops."""
+    bucketed = df.select(F.col(id_col), F.col(hash_col).alias("_h")).withColumn(
+        "_bucket", F.shiftrightunsigned("_h", 64 - prefix_bits)
     )
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "_bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "_bucket")
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"), "_bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"), "_bucket")
     return (
         a.join(b, "_bucket")
         .where(F.col("id_a") < F.col("id_b"))

@@ -84,3 +84,12 @@ def test_keepdrop_labels_fixture_fresh():
     by_id = dict(zip(disk["image_id"], disk["keep_expected"]))
     for r in regen.itertuples():
         assert by_id[r.image_id] == r.keep, STALE
+
+
+def test_pairs_phash_fixture_fresh():
+    from ccnet_spark_spark.synth import gen_pandas
+
+    disk = pd.read_parquet(os.path.join(FIX, "pairs400_phash.parquet"))
+    assert len(disk) == 400, STALE
+    regen = gen_pandas(0, 25)[["image_id", "phash"]]
+    pd.testing.assert_frame_equal(disk.head(25), regen, obj=STALE)

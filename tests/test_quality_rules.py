@@ -299,3 +299,29 @@ class TestEmptyInputs:
         assert train_cutoff_matrix(e, pp_col="pp", lang_col="lang").count() == 0
         e2 = self._empty(spark, "doc_id long, lang string")
         assert stratified_hash_sample(e2, "doc_id", "lang", {"en": 26}).count() == 0
+
+
+class TestHash64NearDup:
+    def test_planted_flip_found_cross_bucket_missed(self, spark):
+        from ccnet_spark_spark.operators.dedup import hash64_neardup_pairs
+
+        base = 0x1234_5678_9ABC_DEF0
+        rows = [
+            ("a", base),
+            ("b", base ^ 0b101),            # hamming 2, same top-16 -> found
+            ("c", base ^ (1 << 60)),        # flips inside top-16 -> different bucket, missed
+            ("d", -(2**62)),                # unrelated
+        ]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        out = {(r.id_a, r.id_b): r.hamming for r in
+               hash64_neardup_pairs(df, "image_id", "phash", 16, 8).collect()}
+        assert out == {("a", "b"): 2}
+
+    def test_negative_hashes_bucket_correctly(self, spark):
+        from ccnet_spark_spark.operators.dedup import hash64_neardup_pairs
+
+        # negative int64: shiftrightunsigned must treat the sign bit as data
+        rows = [("a", -42), ("b", -42 ^ 0b11)]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        out = hash64_neardup_pairs(df, "image_id", "phash", 16, 8).collect()
+        assert len(out) == 1 and out[0].hamming == 2

@@ -49,6 +49,17 @@ def make_pairs_input(n: int = 400) -> None:
     print(f"pairs400_input.parquet: {len(df)} rows")
 
 
+def make_pairs_phash(n: int = 400) -> None:
+    """(image_id, phash) for the 400-pair corpus — the q_phash_neardup
+    oracle rebuilds the planted near-dup construction and the
+    bucket/hamming math in DuckDB over these int64 values."""
+    from ccnet_spark_spark.synth import gen_pandas
+
+    df = gen_pandas(0, n)[["image_id", "phash"]]
+    df.to_parquet(os.path.join(FIXTURES, "pairs400_phash.parquet"), index=False)
+    print(f"pairs400_phash.parquet: {len(df)} rows")
+
+
 def make_keepdrop_labels(n: int = 400) -> None:
     """Expected keep/drop labels for the 400-pair corpus, computed by the
     single-node pandas oracle (tests/oracle_pandas.py — shares the stub
@@ -201,6 +212,7 @@ def make_simhash_expected(sf_dir: str) -> None:
 
 if __name__ == "__main__":
     make_pairs_input()
+    make_pairs_phash()
     make_keepdrop_labels()
     make_image_stats_expected()
     make_image_resize_expected()
