@@ -1203,18 +1203,29 @@ def q_phash_neardup(spark, sf_dir):
     """IMAGE near-dup via perceptual hash: bucket the pairs table's phash
     column by its top 16 bits, verify candidates by popcount(xor) <= 8 —
     near-identical images differ in a few phash bits while random 64-bit
-    hashes never collide, so 20 planted low-bit-flipped copies (hamming 3)
-    are the expected pairs. Same bucket-then-verify shape as simhash, over
-    a fingerprint that ARRIVES with the data (no decode in the hot path)."""
+    hashes never collide. Two plant families prove both recall paths:
+    20 low-bit flips (hamming 2, found by the pass-0 top-16 bucket) and 20
+    TOP-bit flips (bits 50+55 — a different pass-0 bucket, found only by
+    the rotated-prefix second pass). Same bucket-then-verify shape as
+    simhash, over a fingerprint that ARRIVES with the data (no decode in
+    the hot path)."""
     from ccnet_spark_spark.synth import generate_pairs
 
     base = generate_pairs(spark, 400).select("image_id", "phash")
-    planted = base.where(F.col("image_id") < "img0000000020").select(
+    low = base.where(F.col("image_id") < "img0000000020").select(
         F.concat(F.col("image_id"), F.lit("_dup")).alias("image_id"),
         F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
     )
-    corpus = base.union(planted)
-    return dedup.hash64_neardup_pairs(corpus, "image_id", "phash", prefix_bits=16, max_hamming=8)
+    top = base.where(
+        (F.col("image_id") >= "img0000000020") & (F.col("image_id") < "img0000000040")
+    ).select(
+        F.concat(F.col("image_id"), F.lit("_top")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit((1 << 50) | (1 << 55))).alias("phash"),
+    )
+    corpus = base.union(low).union(top)
+    return dedup.hash64_neardup_pairs(
+        corpus, "image_id", "phash", prefix_bits=16, max_hamming=8, passes=2
+    )
 
 
 def q_keepdrop_f1(spark, sf_dir):
@@ -2152,13 +2163,17 @@ def oracle_sql() -> dict[str, str]:
             f"read_parquet('{_fixture('pairs400_phash.parquet')}')), "
             "corpus as (select * from base union all "
             "select image_id || '_dup' as image_id, xor(phash, 5) as phash "
-            "from base where image_id < 'img0000000020') "
-            "select id_a, id_b, hamming from ("
+            "from base where image_id < 'img0000000020' union all "
+            f"select image_id || '_top' as image_id, xor(phash, {(1 << 50) | (1 << 55)}) as phash "
+            "from base where image_id >= 'img0000000020' and image_id < 'img0000000040') "
+            "select distinct id_a, id_b, hamming from ("
             "select a.image_id as id_a, b.image_id as id_b, "
             "cast(bit_count(xor(a.phash, b.phash)) as bigint) as hamming "
             "from corpus a join corpus b on a.image_id < b.image_id "
-            # top-16-bucket equality == shiftrightunsigned(h, 48) equality
-            f"and (xor(a.phash, b.phash) & ({-(1 << 48)})::bigint) = 0"
+            # pass-0 bucket: top-16 bits equal; pass-1 (rotate-left 16):
+            # bits 32..47 equal — rotation of xor == xor of rotations
+            f"and ((xor(a.phash, b.phash) & ({-(1 << 48)})::bigint) = 0 "
+            f"or (xor(a.phash, b.phash) & {(1 << 48) - (1 << 32)}) = 0)"
             ") where hamming <= 8"
         ),
         "simhash_neardup": (

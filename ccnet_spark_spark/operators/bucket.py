@@ -77,7 +77,12 @@ def with_bucket(df: DataFrame, cutoffs_df: DataFrame, pp_col: str = "perplexity"
 
 
 def train_cutoff_matrix(
-    df: DataFrame, pp_col: str = "perplexity", lang_col: str = "lang", n_points: int = 101
+    df: DataFrame,
+    pp_col: str = "perplexity",
+    lang_col: str = "lang",
+    n_points: int = 101,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """The OFFLINE step the reference consumes but never shows: compute the
     cc_net-style percentile cutoff matrix (reference cutoff.csv — 101
@@ -88,12 +93,18 @@ def train_cutoff_matrix(
     exact shape cutoffs_from_percentile_matrix() loads back.
 
     Scale note: exact percentile holds per-group values in memory; per
-    language that is |docs-per-lang| doubles — at 10^12 rows switch the expr
-    to percentile_approx(pp, ..., 10000) for a sketch-based one-pass with the
-    same output shape (contract keeps the exact form so the DuckDB twin
-    (quantile_cont) can verify the math bit-for-bit)."""
+    language that is |docs-per-lang| doubles — at 10^12 rows pass
+    exact=False for percentile_approx (bounded-memory mergeable sketch,
+    map-side combinable, rank error <= 1/accuracy) with the same output
+    shape. The contract keeps the exact form so the DuckDB twin
+    (quantile_cont) can verify the math bit-for-bit; the approx path is
+    value-tested against the exact one in pytest."""
     pcts = [i / (n_points - 1) for i in range(n_points)]
-    arr = F.expr(f"percentile({pp_col}, array({', '.join(repr(p) for p in pcts)}))")
+    pct_array = f"array({', '.join(repr(p) for p in pcts)})"
+    if exact:
+        arr = F.expr(f"percentile({pp_col}, {pct_array})")
+    else:
+        arr = F.expr(f"percentile_approx({pp_col}, {pct_array}, {accuracy})")
     per_lang = (
         df.where(F.col(pp_col).isNotNull() & (F.col(pp_col) >= 0))
         .groupBy(lang_col)

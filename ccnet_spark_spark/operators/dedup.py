@@ -258,6 +258,7 @@ def hash64_neardup_pairs(
     hash_col: str,
     prefix_bits: int = 16,
     max_hamming: int = 8,
+    passes: int = 1,
 ) -> DataFrame:
     """Radius near-dup pairs over ANY precomputed 64-bit fingerprint column
     — the same bucket-then-verify shape simhash_neardup_pairs uses, exposed
@@ -265,19 +266,37 @@ def hash64_neardup_pairs(
     (the pairs table's phash column — near-identical images differ in a few
     phash bits), content-defined chunk hashes, etc. Bucket by the top
     prefix_bits (equi-join prunes the pair space; never all-pairs), verify
-    by exact popcount(xor) <= max_hamming in pure JVM bit ops."""
-    bucketed = df.select(F.col(id_col), F.col(hash_col).alias("_h")).withColumn(
-        "_bucket", F.shiftrightunsigned("_h", 64 - prefix_bits)
-    )
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"), "_bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"), "_bucket")
-    return (
-        a.join(b, "_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hashing.hamming64_expr(F.col("_ha"), F.col("_hb")).cast("long"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    by exact popcount(xor) <= max_hamming in pure JVM bit ops.
+
+    passes > 1 tightens recall: pass p buckets on the hash ROTATED left by
+    p x prefix_bits, so near-dups whose differing bits straddle one prefix
+    window share a bucket in another (rotation preserves hamming distance;
+    pair sets are unioned + distinct'ed). 64/prefix_bits passes guarantee
+    any pair with max_hamming < number-of-clean-windows is found in some
+    window; each extra pass costs one more bucket shuffle of (id, hash)."""
+    hashed = df.select(F.col(id_col), F.col(hash_col).alias("_h"))
+    per_pass = []
+    for p in range(max(passes, 1)):
+        rot = (p * prefix_bits) % 64
+        rotated = (
+            F.col("_h")
+            if rot == 0
+            else F.shiftleft("_h", rot).bitwiseOR(F.shiftrightunsigned("_h", 64 - rot))
+        )
+        bucketed = hashed.withColumn("_bucket", F.shiftrightunsigned(rotated, 64 - prefix_bits))
+        a = bucketed.select(F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"), "_bucket")
+        b = bucketed.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"), "_bucket")
+        per_pass.append(
+            a.join(b, "_bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hashing.hamming64_expr(F.col("_ha"), F.col("_hb")).cast("long"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    out = per_pass[0]
+    for extra in per_pass[1:]:
+        out = out.union(extra)
+    return out.distinct() if len(per_pass) > 1 else out
 
 
 def lsh_then_jaccard(

@@ -325,3 +325,49 @@ class TestHash64NearDup:
         df = spark.createDataFrame(rows, "image_id string, phash long")
         out = hash64_neardup_pairs(df, "image_id", "phash", 16, 8).collect()
         assert len(out) == 1 and out[0].hamming == 2
+
+    def test_rotated_second_pass_recalls_prefix_straddlers(self, spark):
+        from ccnet_spark_spark.operators.dedup import hash64_neardup_pairs
+
+        base = 0x1234_5678_9ABC_DEF0
+        rows = [("a", base), ("c", base ^ (1 << 60))]  # flip inside top-16
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        # one pass: different pass-0 buckets -> missed
+        assert hash64_neardup_pairs(df, "image_id", "phash", 16, 8, passes=1).count() == 0
+        # second pass buckets on the rotated hash -> found, and no dup rows
+        out = hash64_neardup_pairs(df, "image_id", "phash", 16, 8, passes=2).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in out] == [("a", "c", 1)]
+
+    def test_passes_dedup_pairs_found_twice(self, spark):
+        from ccnet_spark_spark.operators.dedup import hash64_neardup_pairs
+
+        rows = [("a", 99), ("b", 99 ^ 0b1)]  # same bucket in EVERY rotation window
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        assert hash64_neardup_pairs(df, "image_id", "phash", 16, 8, passes=4).count() == 1
+
+
+class TestApproxCutoffTrainer:
+    def test_approx_tracks_exact(self, spark):
+        """The 10^12-row path (percentile_approx sketch) must track the
+        exact percentiles within the sketch's rank-error bound."""
+        import random
+
+        rng = random.Random(7)
+        rows = [("en", round(rng.gauss(300, 60), 1)) for _ in range(4000)]
+        rows += [("fr", round(rng.gauss(200, 40), 1)) for _ in range(2000)]
+        df = spark.createDataFrame(rows, "lang string, pp double")
+        exact = {
+            (r["lang"], r["pct"]): r["cutoff"]
+            for r in bucket_op.train_cutoff_matrix(df, "pp", "lang", n_points=21).collect()
+        }
+        approx = {
+            (r["lang"], r["pct"]): r["cutoff"]
+            for r in bucket_op.train_cutoff_matrix(
+                df, "pp", "lang", n_points=21, exact=False
+            ).collect()
+        }
+        assert exact.keys() == approx.keys()
+        for key, ev in exact.items():
+            # rank error 1/accuracy => tiny value error on a smooth CDF;
+            # allow a loose 2% relative tolerance
+            assert abs(approx[key] - ev) <= max(abs(ev) * 0.02, 0.5), (key, ev, approx[key])
