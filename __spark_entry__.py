@@ -1228,6 +1228,38 @@ def q_phash_neardup(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- source-format breadth
+# The sf0.01 documents table re-encoded as JSONL / CSV / ORC
+# (tools/make_fixtures.py). Each reader uses an EXPLICIT schema (S5
+# discipline — never inferred) and must reproduce the parquet original
+# row-for-row; the oracle reads the parquet directly, so all three gates
+# are full-row parity checks of the respective source path.
+_DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+_DOCS_PARQUET_SQL = (
+    "select doc_id, text, lang, source, n_chars "
+    "from read_parquet('/root/testdata/sf0.01/documents.parquet')"
+)
+
+
+def q_json_source(spark, sf_dir):
+    return spark.read.schema(_DOCS_DDL).json(_fixture("documents_sf001.jsonl"))
+
+
+def q_csv_source(spark, sf_dir):
+    return (
+        spark.read.schema(_DOCS_DDL)
+        .option("header", True)
+        .option("escape", '"')
+        .csv(_fixture("documents_sf001.csv"))
+    )
+
+
+def q_orc_source(spark, sf_dir):
+    return spark.read.orc(_fixture("documents_sf001.orc")).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def q_keepdrop_f1(spark, sf_dir):
     """The north rule's F1 criterion as a first-class, oracle-checked
     artifact: run the full pipeline over the 400-pair corpus, join its keep
@@ -1641,6 +1673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_pipeline": _wrap(q_pairs_pipeline),
         "keepdrop_f1": _wrap(q_keepdrop_f1),
         "phash_neardup": _wrap(q_phash_neardup),
+        "json_source": _wrap(q_json_source),
+        "csv_source": _wrap(q_csv_source),
+        "orc_source": _wrap(q_orc_source),
         "payload_passthrough": _wrap(q_payload_passthrough),
         "image_stats": _wrap(q_image_stats),
         "image_resize": _wrap(q_image_resize),
@@ -2176,6 +2211,9 @@ def oracle_sql() -> dict[str, str]:
             f"or (xor(a.phash, b.phash) & {(1 << 48) - (1 << 32)}) = 0)"
             ") where hamming <= 8"
         ),
+        "json_source": _DOCS_PARQUET_SQL,
+        "csv_source": _DOCS_PARQUET_SQL,
+        "orc_source": _DOCS_PARQUET_SQL,
         "simhash_neardup": (
             f"with f as (select doc_id, simhash from read_parquet('{_simhash_fixture()}')) "
             "select id_a, id_b, hamming from ("

@@ -93,3 +93,22 @@ def test_pairs_phash_fixture_fresh():
     assert len(disk) == 400, STALE
     regen = gen_pandas(0, 25)[["image_id", "phash"]]
     pd.testing.assert_frame_equal(disk.head(25), regen, obj=STALE)
+
+
+def test_source_format_fixtures_fresh():
+    """JSONL/CSV/ORC re-encodings must match the driver's parquet (pandas
+    read-back of each equals the original)."""
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata absent")
+    orig = pd.read_parquet(os.path.join(sf_dir, "documents.parquet")).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    js = pd.read_json(os.path.join(FIX, "documents_sf001.jsonl"), lines=True)
+    pd.testing.assert_frame_equal(js, orig, obj=STALE)
+    cs = pd.read_csv(os.path.join(FIX, "documents_sf001.csv"))
+    pd.testing.assert_frame_equal(cs, orig, obj=STALE)
+    import pyarrow.orc
+
+    orc = pyarrow.orc.read_table(os.path.join(FIX, "documents_sf001.orc")).to_pandas()
+    pd.testing.assert_frame_equal(orc, orig, obj=STALE)

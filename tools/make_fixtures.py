@@ -60,6 +60,28 @@ def make_pairs_phash(n: int = 400) -> None:
     print(f"pairs400_phash.parquet: {len(df)} rows")
 
 
+def make_source_formats(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """The sf0.01 documents table re-encoded as JSONL, CSV, and ORC —
+    source-format breadth fixtures: the engine reads each with an explicit
+    schema and must produce rows identical to the parquet original (the
+    oracle is simply `select * from documents`)."""
+    import pyarrow as pa
+    import pyarrow.orc
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    docs.to_json(
+        os.path.join(FIXTURES, "documents_sf001.jsonl"), orient="records", lines=True,
+        force_ascii=True,
+    )
+    docs.to_csv(os.path.join(FIXTURES, "documents_sf001.csv"), index=False)
+    pyarrow.orc.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(FIXTURES, "documents_sf001.orc"),
+    )
+    print(f"documents_sf001.{{jsonl,csv,orc}}: {len(docs)} rows each")
+
+
 def make_keepdrop_labels(n: int = 400) -> None:
     """Expected keep/drop labels for the 400-pair corpus, computed by the
     single-node pandas oracle (tests/oracle_pandas.py — shares the stub
@@ -214,6 +236,7 @@ if __name__ == "__main__":
     make_pairs_input()
     make_pairs_phash()
     make_keepdrop_labels()
+    make_source_formats()
     make_image_stats_expected()
     make_image_resize_expected()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
