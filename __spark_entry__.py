@@ -667,6 +667,30 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (dynamic-gap windows merged
+    by the engine) cross-validated against the classic lag-gap-cumsum
+    formulation, which the DuckDB twin implements independently. Semantics
+    note the twin must match: session_window starts a NEW session when the
+    gap is >= the duration (each event's window is [ts, ts+30min) — an
+    event landing exactly on the boundary does not overlap), while the
+    classic q_sessionize formulation uses strict >."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").cast("long").alias("sess_start"),
+        F.col("w.end").cast("long").alias("sess_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_cube_rollup(spark, sf_dir):
     # grouping-sets breadth: cube over (lang, source)
     return (
@@ -1644,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_sliding": _wrap(q_events_window_sliding),
         "set_ops": _wrap(q_set_ops),
         "sessionize": _wrap(q_sessionize),
+        "session_window": _wrap(q_session_window),
         "cube_rollup": _wrap(q_cube_rollup),
         "asof_join": _wrap(q_asof_join),
         "pivot_events": _wrap(q_pivot_events),
@@ -1989,6 +2014,22 @@ def oracle_sql() -> dict[str, str]:
             "select user_id, event_id, ts, case when epoch(ts) - "
             "lag(epoch(ts)) over (partition by user_id order by ts, event_id) > 1800 "
             "then 1 else 0 end as new_sess from events)"
+        ),
+        "session_window": (
+            # independent formulation: lag-gap-cumsum with the >= boundary
+            # Spark's native session_window uses (see q_session_window)
+            "with marked as (select user_id, ts, value, case when epoch(ts) - "
+            "lag(epoch(ts)) over (partition by user_id order by ts) >= 1800 "
+            "then 1 else 0 end as ns from events), "
+            "sess as (select user_id, ts, value, sum(ns) over "
+            "(partition by user_id order by ts rows unbounded preceding) as sid from marked) "
+            # floor, not cast: epoch() keeps sub-second fractions and a
+            # bigint cast ROUNDS them, while Spark's cast(ts as long)
+            # truncates — off-by-one on every .5+ fraction otherwise
+            "select user_id, cast(floor(epoch(min(ts))) as bigint) as sess_start, "
+            "cast(floor(epoch(max(ts)) + 1800) as bigint) as sess_end, "
+            "cast(count(*) as bigint) as n_events, round(sum(value), 2) as sum_value "
+            "from sess group by user_id, sid"
         ),
         "cube_rollup": (
             "select lang, source, count(*) as n_docs, cast(sum(n_chars) as bigint) as sum_chars "
