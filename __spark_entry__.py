@@ -691,6 +691,52 @@ def q_session_window(spark, sf_dir):
     )
 
 
+def q_unpivot(spark, sf_dir):
+    """Wide-to-long melt via Spark's native unpivot (ids=doc_id,
+    values=token metrics) — the standard feature-table reshaping step; the
+    DuckDB twin is the canonical UNION ALL formulation."""
+    docs = _docs(spark, sf_dir)
+    wide = docs.select(
+        "doc_id",
+        textstats.token_count_expr("text").cast("long").alias("ws_tokens"),
+        textstats.bpe_token_count_expr("text").cast("long").alias("bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return wide.unpivot(
+        "doc_id", ["ws_tokens", "bpe_tokens", "n_chars"], "metric", "value"
+    )
+
+
+def q_gapfill(spark, sf_dir):
+    """Time-series densification: per low-id user, an hourly spine from the
+    user's first to last event (sequence + explode — generated, not read),
+    left-joined with per-hour event counts and zero-filled. The standard
+    gap-fill shape for feature/monitoring series; spine generation is
+    map-side, the join is per-user aligned."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).where(
+        F.col("user_id") < 20
+    )
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    per_hour = ev.select("user_id", hour.alias("h")).groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spans = ev.select("user_id", hour.alias("h")).groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    return (
+        spine.join(per_hour, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").cast("long").alias("hour_epoch"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+        )
+    )
+
+
 def q_cube_rollup(spark, sf_dir):
     # grouping-sets breadth: cube over (lang, source)
     return (
@@ -1669,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _wrap(q_set_ops),
         "sessionize": _wrap(q_sessionize),
         "session_window": _wrap(q_session_window),
+        "unpivot": _wrap(q_unpivot),
+        "gapfill": _wrap(q_gapfill),
         "cube_rollup": _wrap(q_cube_rollup),
         "asof_join": _wrap(q_asof_join),
         "pivot_events": _wrap(q_pivot_events),
@@ -2014,6 +2062,25 @@ def oracle_sql() -> dict[str, str]:
             "select user_id, event_id, ts, case when epoch(ts) - "
             "lag(epoch(ts)) over (partition by user_id order by ts, event_id) > 1800 "
             "then 1 else 0 end as new_sess from events)"
+        ),
+        "unpivot": (
+            f"with wide as (select doc_id, cast({textstats.token_count_sql('text')} as bigint) as ws_tokens, "
+            f"cast({textstats.bpe_token_count_sql('text')} as bigint) as bpe_tokens, "
+            "cast(n_chars as bigint) as n_chars from documents) "
+            "select doc_id, 'ws_tokens' as metric, ws_tokens as value from wide "
+            "union all select doc_id, 'bpe_tokens', bpe_tokens from wide "
+            "union all select doc_id, 'n_chars', n_chars from wide"
+        ),
+        "gapfill": (
+            "with ev as (select user_id, date_trunc('hour', ts) as h from events "
+            "where user_id < 20), "
+            "per_hour as (select user_id, h, cast(count(*) as bigint) as n from ev group by all), "
+            "spans as (select user_id, min(h) as h0, max(h) as h1 from ev group by user_id), "
+            "spine as (select user_id, unnest(generate_series(h0, h1, interval 1 hour)) as h "
+            "from spans) "
+            "select s.user_id, cast(floor(epoch(s.h)) as bigint) as hour_epoch, "
+            "coalesce(p.n, 0) as n_events "
+            "from spine s left join per_hour p using (user_id, h)"
         ),
         "session_window": (
             # independent formulation: lag-gap-cumsum with the >= boundary
