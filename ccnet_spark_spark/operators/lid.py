@@ -48,7 +48,7 @@ def lang_filter(df: DataFrame, selected_langs: list[str] | None) -> DataFrame:
     return df.filter(F.col("lang").isin(selected_langs))
 
 
-def salted_repartition(df: DataFrame, num_partitions: int, key_col: str = "lang", salt_buckets: int = 32, id_col: str | None = None) -> DataFrame:
+def salted_repartition(df: DataFrame, num_partitions: int, key_col: str = "lang", salt_buckets: int | None = None, id_col: str | None = None) -> DataFrame:
     """Skew fix for language-imbalanced data (en dominates): repartition by
     (key, salt) so one hot language spreads over salt_buckets partitions
     instead of one. Replaces the reference's blunt repartition(n) at
@@ -60,7 +60,15 @@ def salted_repartition(df: DataFrame, num_partitions: int, key_col: str = "lang"
     buckets) — never rand(): repartitioning on a nondeterministic expression
     can duplicate or lose rows when a shuffle map task is recomputed after a
     fetch failure (partial stage retry would re-roll the salt), exactly the
-    failure mode the 100 TB scale path must survive."""
+    failure mode the 100 TB scale path must survive.
+
+    salt_buckets defaults to 16 x num_partitions: with only ~2 x partitions
+    salt values, balls-in-bins variance leaves the hottest partition 2x the
+    mean (measured: tools/bench_skew.py, one hot key at local[16] — 32
+    salts 7.2 s vs 256 salts 4.5 s vs 3.5 s skew-free bound; the by-lang
+    unsalted shape is 44.8 s, 7-10x worse)."""
+    if salt_buckets is None:
+        salt_buckets = max(32, 16 * num_partitions)
     salt_src = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)).cast("int")
