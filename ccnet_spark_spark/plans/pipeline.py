@@ -69,6 +69,7 @@ class Config:
     salt_partitions: int | None = None  # None -> spark default parallelism
     sample_rate: float | None = None  # reference isSample/sampleRate knob
     fuse_lm: bool = True  # tokenize+perplexity in one Arrow crossing
+    observe: bool = False  # attach an Observation with run metrics (rows/kept/chars)
     drop_tokenized: bool = True  # reference DROP step (pipe_line.py:342-343)
     steps: list[str] = field(default_factory=lambda: list(ALL_STEPS))
 
@@ -141,4 +142,24 @@ class Pipeline:
             out = out.withColumn("scrubbed_caption", scrub_expr(F.coalesce(F.col("dedup_caption"), F.col(text_col))))
         if "verdict" in cfg.steps:
             out = verdict.with_verdict(out, cfg.selected_langs)
-        return out.drop("too_short")
+        out = out.drop("too_short")
+
+        if cfg.observe and "verdict" in cfg.steps:
+            # in-flight run metrics, collected by the SAME action that
+            # materializes the result (no second pass over the data, unlike
+            # a .count() per metric): rows seen, rows kept, characters kept.
+            # Complements the per-partition sidecar (sources/tables.py) —
+            # the sidecar is durable lineage, this is the live job counter
+            # a monitoring layer scrapes after each batch.
+            from pyspark.sql import Observation
+
+            self.last_observation = Observation("pipeline_metrics")
+            out = out.observe(
+                self.last_observation,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+                F.sum(
+                    F.when(F.col("keep"), F.col("length").cast("long")).otherwise(F.lit(0))
+                ).alias("chars_kept"),
+            )
+        return out

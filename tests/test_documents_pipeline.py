@@ -88,3 +88,23 @@ def test_normalize_and_scrub_properties():
         tok = stub_tokenize_one(s)
         pp = stub_perplexity_one(tok)
         assert pp >= 0.0  # 10^x > 0; 0.0 only for empty
+
+
+def test_observation_metrics_match_result(spark):
+    """Config.observe attaches in-flight counters collected by the SAME
+    action that materializes the result — values must equal what a second
+    pass over the output computes."""
+    from ccnet_spark_spark.operators.bucket import load_cutoffs_dict
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pipe = Pipeline(spark, Config(cutoffs=load_cutoffs_dict(), observe=True))
+    out = pipe.run(generate_pairs(spark, 120)).select("image_id", "keep", "length").cache()
+    rows = out.count()  # the materializing action
+    got = pipe.last_observation.get
+    kept = out.where("keep").count()
+    chars = out.where("keep").agg({"length": "sum"}).collect()[0][0]
+    out.unpersist()
+    assert got["rows"] == rows == 120
+    assert got["rows_kept"] == kept > 0
+    assert got["chars_kept"] == chars
