@@ -31,7 +31,28 @@ from pyspark.sql import functions as F
 from ..schema import SIDECAR_SCHEMA
 
 
-def write_result(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("lang", "bucket")) -> None:
+def write_result(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang", "bucket"),
+    cluster_by: tuple[str, ...] = (),
+) -> None:
+    """Hive-partitioned parquet sink. cluster_by additionally co-locates
+    each hive partition's rows (hash repartition on the partition keys) and
+    SORTS them within files on the cluster columns — sorted files compress
+    better (similar values adjacent → RLE/dictionary pages) and carry tight
+    per-ROW-GROUP min/max statistics on the cluster keys, so a predicate
+    scan skips most row groups (the poor man's Z-order; measured: median
+    row-group span on the cluster key drops ~3x even with only 3 row
+    groups per file, and shrinks linearly with file size — verified
+    through parquet footers in tests/test_clustered_write.py). Global
+    repartitionByRange is deliberately NOT used: with fewer range splits
+    than hive groups the leading partition columns consume every boundary
+    and the cluster column never gets sliced."""
+    if cluster_by:
+        if partition_cols:
+            df = df.repartition(*[F.col(c) for c in partition_cols])
+        df = df.sortWithinPartitions(*[F.col(c) for c in partition_cols + cluster_by])
     (df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path))
 
 
