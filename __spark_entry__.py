@@ -1096,6 +1096,39 @@ def q_incremental_dedup(spark, sf_dir):
     return dedup.incremental_dedup(batch, corpus, "doc_id", "text").select("doc_id", "lang")
 
 
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff — the ops tool behind incremental publishes: full outer
+    join of two table versions on the key, rows classified added / removed /
+    changed / unchanged by comparing a content hash of the value columns.
+    The 'new' version here is deterministic: every 7th doc's text is edited,
+    every 13th doc is deleted, and 5 docs are appended."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .union(
+            docs.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 900000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("_ha"))
+    b = new.select("doc_id", F.sha2(F.col("text"), 256).alias("_hb"))
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status")).where(F.col("status") != "unchanged")
+
+
 def q_selfcal_bucket(spark, sf_dir):
     """Self-calibrating bucketing — cc_net's ACTUAL workflow in one job:
     train the per-language percentile cutoff matrix from the corpus
@@ -1741,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _wrap(q_decontaminate),
         "incremental_dedup": _wrap(q_incremental_dedup),
         "selfcal_bucket": _wrap(q_selfcal_bucket),
+        "table_diff": _wrap(q_table_diff),
         "ccnet_chain": _wrap(q_ccnet_chain),
         "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
@@ -2231,6 +2265,18 @@ def oracle_sql() -> dict[str, str]:
             "where not exists (select 1 from ch where ch.hv = bh.hv)) "
             "select doc_id, lang from fresh "
             "qualify row_number() over (partition by hv order by doc_id) = 1"
+        ),
+        "table_diff": (
+            "with old as (select doc_id, text from documents), "
+            "new as (select doc_id, case when doc_id % 7 = 0 then text || ' edited' "
+            "else text end as text from documents where doc_id % 13 != 0 "
+            "union all select doc_id + 900000 as doc_id, text from documents where doc_id < 5), "
+            "j as (select coalesce(o.doc_id, n.doc_id) as doc_id, "
+            "o.text as ot, n.text as nt from old o full outer join new n using (doc_id)) "
+            "select doc_id, status from (select doc_id, "
+            "case when ot is null then 'added' when nt is null then 'removed' "
+            "when ot != nt then 'changed' else 'unchanged' end as status from j) "
+            "where status != 'unchanged'"
         ),
         "selfcal_bucket": (
             "with matrix as (select * from ("
