@@ -1552,6 +1552,32 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(sink).select("hash_value")
 
 
+def q_foreach_batch_sink(spark, sf_dir):
+    """The idempotent foreachBatch sink (streaming/sink.py) driven
+    end-to-end: the events table streams through availableNow micro-batches
+    into per-batchId atomic commits; the committed output read back must
+    equal the batch table exactly (arrival-order-invariant projection —
+    which batch a row lands in varies, the ROW SET may not)."""
+    from ccnet_spark_spark.streaming.sink import start_foreach_batch_stream
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type"
+    )
+    src, sink, ckpt = _stream_dirs("foreach_batch_sink")
+    ev.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    q = start_foreach_batch_stream(stream, sink, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.option("basePath", sink).parquet(sink).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
 def q_stream_stream_join(spark, sf_dir):
     """Stream-stream INTERVAL join (the third Structured Streaming operator
     class beside windowed aggs and arbitrary state): each purchase joins
@@ -1794,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _wrap(q_streaming_dedup),
         "streaming_dedup_ttl": _wrap(q_streaming_dedup_ttl),
         "stream_stream_join": _wrap(q_stream_stream_join),
+        "foreach_batch_sink": _wrap(q_foreach_batch_sink),
     }
 
 
@@ -2378,6 +2405,7 @@ def oracle_sql() -> dict[str, str]:
             f"and (xor(a.simhash, b.simhash) & ({-(1 << 48)})::bigint) = 0"
             ") where hamming <= 8"
         ),
+        "foreach_batch_sink": "select event_id, user_id, event_type from events",
         "stream_stream_join": (
             "select p.event_id as p_event_id, p.user_id, p.ts as p_ts, c.ts as c_ts, "
             "round(p.value, 2) as purchase_value, round(c.value, 2) as click_value "
