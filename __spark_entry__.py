@@ -1129,6 +1129,24 @@ def q_table_diff(spark, sf_dir):
     return j.select("doc_id", status.alias("status")).where(F.col("status") != "unchanged")
 
 
+def q_merge_upsert(spark, sf_dir):
+    """CDC upsert — MERGE INTO emulated the v1 way (anti-join + union): the
+    change set (updates for doc_id % 7, 5 inserts) replaces matching target
+    rows and appends the rest. Exactly-once per key; the Iceberg deployment
+    swaps this for a native MERGE INTO with identical semantics."""
+    target = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    updates = (
+        target.where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"), "lang")
+    )
+    inserts = target.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text", "lang"
+    )
+    source = updates.union(inserts)
+    merged = target.join(source, "doc_id", "left_anti").unionByName(source)
+    return merged.select("doc_id", F.sha2("text", 256).alias("text_hash"), "lang")
+
+
 def q_selfcal_bucket(spark, sf_dir):
     """Self-calibrating bucketing — cc_net's ACTUAL workflow in one job:
     train the per-language percentile cutoff matrix from the corpus
@@ -1801,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _wrap(q_incremental_dedup),
         "selfcal_bucket": _wrap(q_selfcal_bucket),
         "table_diff": _wrap(q_table_diff),
+        "merge_upsert": _wrap(q_merge_upsert),
         "ccnet_chain": _wrap(q_ccnet_chain),
         "ccnet_chain_lines": _wrap(q_ccnet_chain_lines),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
@@ -2292,6 +2311,16 @@ def oracle_sql() -> dict[str, str]:
             "where not exists (select 1 from ch where ch.hv = bh.hv)) "
             "select doc_id, lang from fresh "
             "qualify row_number() over (partition by hv order by doc_id) = 1"
+        ),
+        "merge_upsert": (
+            "with target as (select doc_id, text, lang from documents), "
+            "source as (select doc_id, text || ' v2' as text, lang from documents "
+            "where doc_id % 7 = 0 "
+            "union all select doc_id + 900000, text, lang from documents where doc_id < 5) "
+            "select doc_id, sha256(text) as text_hash, lang from ("
+            "select t.* from target t where not exists "
+            "(select 1 from source s where s.doc_id = t.doc_id) "
+            "union all select * from source)"
         ),
         "table_diff": (
             "with old as (select doc_id, text from documents), "

@@ -371,3 +371,25 @@ class TestApproxCutoffTrainer:
             # rank error 1/accuracy => tiny value error on a smooth CDF;
             # allow a loose 2% relative tolerance
             assert abs(approx[key] - ev) <= max(abs(ev) * 0.02, 0.5), (key, ev, approx[key])
+
+
+class TestApproxDistinct:
+    def test_hll_within_tolerance_of_exact(self, spark):
+        """approx_count_distinct (HLL++) tracks the exact distinct count
+        within its relative-error knob — the 10^12-row cardinality path
+        (the exact per-group variant is the oracle-checked distinct_counts
+        contract query)."""
+        rows = [(i % 7, f"value_{i % 1234}") for i in range(20_000)]
+        df = spark.createDataFrame(rows, "grp int, v string")
+        got = {
+            r["grp"]: (r["exact"], r["approx"])
+            for r in df.groupBy("grp")
+            .agg(
+                F.countDistinct("v").alias("exact"),
+                F.approx_count_distinct("v", rsd=0.02).alias("approx"),
+            )
+            .collect()
+        }
+        assert len(got) == 7
+        for grp, (exact, approx) in got.items():
+            assert abs(approx - exact) <= max(3, exact * 0.06), (grp, exact, approx)
