@@ -71,13 +71,17 @@ def stratified_hash_sample(
     rows = [
         (s, "00" if r == 0 else _stratum_threshold_hex(r)) for s, r in sorted(rates_256.items())
     ]
-    rates_df = spark.createDataFrame(rows, "stratum string, _thr string")
+    # rates columns carry a private prefix: joining on a bare "stratum"
+    # name and drop("stratum") would silently drop a same-named USER column
+    rates_df = spark.createDataFrame(rows, "__rates_stratum string, __rates_thr string")
     default_thr = "00" if default_256 == 0 else _stratum_threshold_hex(default_256)
     prefix = F.substring(F.sha2(c.cast("string"), 256), 1, 2)
     joined = df.join(
-        F.broadcast(rates_df), df[stratum_col] == rates_df["stratum"], "left"
-    ).drop("stratum")
-    return joined.where(prefix < F.coalesce(F.col("_thr"), F.lit(default_thr))).drop("_thr")
+        F.broadcast(rates_df), df[stratum_col] == rates_df["__rates_stratum"], "left"
+    )
+    return joined.where(
+        prefix < F.coalesce(F.col("__rates_thr"), F.lit(default_thr))
+    ).drop("__rates_stratum", "__rates_thr")
 
 
 def stratified_hash_sample_sql(

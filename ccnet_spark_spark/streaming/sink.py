@@ -36,7 +36,15 @@ def idempotent_batch_writer(path: str):
         if os.path.exists(staging):
             shutil.rmtree(staging)  # leftovers from a crashed attempt
         batch_df.write.mode("overwrite").parquet(staging)
-        os.rename(staging, final)
+        try:
+            os.rename(staging, final)
+        except OSError:
+            # lost a race against a concurrent retry of the same batch:
+            # if the committed dir now exists the batch IS durable (same
+            # data by the replay guarantee) — drop our copy and succeed
+            if not os.path.exists(final):
+                raise
+            shutil.rmtree(staging, ignore_errors=True)
 
     return write_batch
 

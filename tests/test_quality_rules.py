@@ -393,3 +393,16 @@ class TestApproxDistinct:
         assert len(got) == 7
         for grp, (exact, approx) in got.items():
             assert abs(approx - exact) <= max(3, exact * 0.06), (grp, exact, approx)
+
+    def test_user_stratum_named_column_survives(self, spark):
+        # a USER column literally named "stratum" must survive the join
+        from ccnet_spark_spark.operators.sample import stratified_hash_sample
+
+        df = spark.createDataFrame(
+            [(i, "en", f"keep_me_{i}") for i in range(50)],
+            "doc_id long, lang string, stratum string",
+        )
+        out = stratified_hash_sample(df, "doc_id", "lang", {"en": 256})
+        assert out.columns == ["doc_id", "lang", "stratum"]
+        assert out.count() == 50
+        assert out.where(F.col("stratum").startswith("keep_me_")).count() == 50
