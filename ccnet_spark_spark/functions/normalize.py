@@ -47,7 +47,13 @@ _PUNCT_CHARS = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~" + _UNICODE_PUNCT + "".join(
 
 
 def normalize_for_dedup_expr(col: Column | str) -> Column:
-    """strip -> lower -> digits->0 -> delete punct+control (reference N1)."""
+    """strip -> lower -> digits->0 -> delete punct+control (reference N1).
+
+    Deliberately NOT idempotent: trim runs FIRST (reference order), so
+    deleting a trailing punctuation char can expose a space the trim never
+    saw ('x ,' -> 'x '). Re-normalizing only strips that space. All three
+    twins (Spark/DuckDB/python) share the quirk bit-identically — pinned by
+    tests/test_property_fuzz.py::test_second_pass_only_trims."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(F.trim(c))
     c = F.translate(c, "123456789", "000000000")

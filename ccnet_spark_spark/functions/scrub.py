@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 # Ordered: emails first (they contain dots/digits), then IPs (dotted digits)
 # before phones (dashed digits).
 SCRUB_RULES: list[tuple[str, str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    # local part = full RFC-5321 special set, not just the common chars: a
+    # scrubber must catch {weird}@example.com too (found by hypothesis —
+    # tests/test_property_fuzz.py generates RFC-exotic locals). For PII,
+    # over-matching is the safe direction.
+    ("email", r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
     ("phone", r"\b[0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{3,4}\b", "<PHONE>"),
     ("toxicity", r"\b(frakk|blorgh|sneckduk|grawlix)\b", "<TOX>"),

@@ -1,0 +1,121 @@
+"""Hypothesis property tests over the pure-Python twins — fast (no Spark
+session) and aimed where text pipelines actually break: arbitrary unicode
+through the normalizer/tokenizer/scrubber, and the algebraic invariants the
+operators rely on (idempotence, permutation-invariance, monotone sampling).
+The cross-ENGINE agreement of these twins with the Spark expressions is
+covered separately (tests/test_fuzz_new_ops.py + the oracle gate); these
+pin the SEMANTIC contracts of the shared reference implementations."""
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ccnet_spark_spark.functions.hashing import line_hash_py, simhash64
+from ccnet_spark_spark.functions.normalize import normalize_for_dedup_py
+from ccnet_spark_spark.functions.scrub import scrub_py
+from ccnet_spark_spark.models import (
+    stub_perplexity_one,
+    stub_tokenize_one,
+    strip_accents,
+)
+
+text_any = st.text(max_size=300)  # arbitrary unicode incl. surrogate-free astral
+tokens = st.lists(st.text(min_size=1, max_size=12), max_size=40)
+
+
+class TestNormalizerProperties:
+    @given(text_any)
+    @settings(max_examples=300, deadline=None)
+    def test_second_pass_only_trims(self, s):
+        # NOT fully idempotent, by reference parity: trim runs before punct
+        # removal, so deleting trailing punct can expose a space ('x ,' ->
+        # 'x '). A second pass may only strip those end spaces — found by
+        # hypothesis, then pinned as the exact contract.
+        once = normalize_for_dedup_py(s)
+        assert normalize_for_dedup_py(once) == once.strip(" ")
+
+    @given(text_any)
+    @settings(max_examples=300, deadline=None)
+    def test_total_and_never_longer(self, s):
+        out = normalize_for_dedup_py(s)  # must never raise
+        assert isinstance(out, str)
+        assert len(out) <= len(s)
+
+    @given(text_any)
+    @settings(max_examples=200, deadline=None)
+    def test_lowercase_first_is_noop(self, s):
+        # the normalizer lowercases internally; pre-lowercasing must not
+        # change the result. (Full upper/lower round-trips are NOT a valid
+        # property: 'ß'.upper() == 'SS' expands — unicode case isn't a
+        # bijection.)
+        assert normalize_for_dedup_py(s) == normalize_for_dedup_py(s.lower())
+
+
+class TestModelStubProperties:
+    @given(text_any)
+    @settings(max_examples=200, deadline=None)
+    def test_tokenize_total(self, s):
+        out = stub_tokenize_one(s)  # any unicode in, no crash
+        assert isinstance(out, str)
+
+    @given(text_any)
+    @settings(max_examples=200, deadline=None)
+    def test_perplexity_positive_and_total(self, s):
+        pp = stub_perplexity_one(stub_tokenize_one(s))
+        assert pp > 0
+
+    @given(text_any)
+    @settings(max_examples=200, deadline=None)
+    def test_strip_accents_idempotent(self, s):
+        once = strip_accents(s)
+        assert strip_accents(once) == once
+
+
+class TestHashProperties:
+    @given(tokens)
+    @settings(max_examples=200, deadline=None)
+    def test_simhash_permutation_invariant(self, toks):
+        # per-token bit votes sum commutatively
+        assert simhash64(toks) == simhash64(list(reversed(toks)))
+        assert 0 <= simhash64(toks) < 2**64 or simhash64(toks) < 0  # int64 domain
+
+    @given(text_any)
+    @settings(max_examples=200, deadline=None)
+    def test_line_hash_shape(self, s):
+        h = line_hash_py(s)
+        assert len(h) == 16 and int(h, 16) >= 0
+
+
+class TestScrubProperties:
+    @given(text_any)
+    @settings(max_examples=200, deadline=None)
+    def test_total_and_idempotent(self, s):
+        once = scrub_py(s)
+        assert scrub_py(once) == once
+
+    @given(st.emails())
+    @settings(max_examples=100, deadline=None)
+    def test_any_email_scrubbed(self, email):
+        assert email not in scrub_py(f"contact me at {email} today")
+
+
+class TestSamplingProperties:
+    @staticmethod
+    def _selected(i: int, rate: int) -> bool:
+        # pure-python mirror of operators/sample.hash_sample's predicate
+        return hashlib.sha256(str(i).encode()).hexdigest()[:2] < format(rate, "02x")
+
+    @given(st.integers(min_value=0, max_value=2**62), st.integers(1, 254))
+    @settings(max_examples=300, deadline=None)
+    def test_monotone_in_rate(self, i, rate):
+        # selected at rate r => selected at every r' > r (stable slices grow)
+        if self._selected(i, rate):
+            assert self._selected(i, rate + 1)
+
+    @given(st.integers(1, 255))
+    @settings(max_examples=50, deadline=None)
+    def test_fraction_tracks_rate(self, rate):
+        n = 2000
+        got = sum(self._selected(i, rate) for i in range(n)) / n
+        assert abs(got - rate / 256) < 0.06
