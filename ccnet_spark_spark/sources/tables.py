@@ -56,6 +56,48 @@ def write_result(
     (df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path))
 
 
+def compact_result(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction — the maintenance job every incrementally-
+    loaded table needs (each micro-batch/partition load leaves its own
+    files; thousands of tiny files tank scan planning and HDFS/S3 metadata).
+    Rewrites the dataset into ceil(rows / target_rows_per_file) files via a
+    round-robin repartition (or per-hive-partition layout when
+    partition_cols given), then ATOMICALLY swaps directories: write to
+    sibling tmp -> rename old out of the way -> rename new in -> drop old.
+    Readers either see the old complete dataset or the new one, never a
+    mix. Returns the file count after compaction. (Iceberg deployment uses
+    rewrite_data_files instead; this is the parquet-path equivalent.)"""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    tmp = path.rstrip("/") + "_compact_tmp"
+    old = path.rstrip("/") + "_compact_old"
+    writer = df.repartition(n_files)
+    if partition_cols:
+        writer = df.repartition(n_files, *[F.col(c) for c in partition_cols])
+        writer.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    else:
+        writer.write.mode("overwrite").parquet(tmp)
+    # verify BEFORE the swap — a bad rewrite must never replace good data
+    if spark.read.parquet(tmp).count() != n_rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(f"compaction row-count mismatch for {path}; aborted before swap")
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    out = 0
+    for root, _dirs, files in os.walk(path):
+        out += sum(1 for f in files if f.endswith(".parquet"))
+    return out
+
+
 # ---------------------------------------------------------------- Iceberg
 def _iceberg_available() -> bool:
     from ..session import iceberg_configured

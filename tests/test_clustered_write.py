@@ -83,3 +83,44 @@ def test_clustered_write_roundtrip_smaller_prunable(spark, small_row_groups, tmp
     # shrinks further as files grow: production-size files hold hundreds
     # of row groups, each a sliver)
     assert statistics.median(clustered_spans) < 0.5 * statistics.median(plain_spans)
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_reduces_files(self, spark, tmp_path):
+        from ccnet_spark_spark.sources.tables import compact_result
+
+        path = str(tmp_path / "frag")
+        # simulate 20 incremental loads -> >= 20 small files
+        for i in range(20):
+            spark.createDataFrame(
+                [(i * 100 + j, f"text {i}-{j}") for j in range(50)],
+                "doc_id long, text string",
+            ).coalesce(1).write.mode("append").parquet(path)
+        before = spark.read.parquet(path).orderBy("doc_id").collect()
+        import glob
+        n_before = len(glob.glob(path + "/*.parquet"))
+        assert n_before >= 20
+
+        n_after = compact_result(spark, path, target_rows_per_file=500)
+        assert n_after == 2  # 1000 rows / 500
+        after = spark.read.parquet(path).orderBy("doc_id").collect()
+        assert after == before
+        assert not glob.glob(path + "_compact_*")  # no litter
+
+    def test_compact_aborts_before_swap_on_mismatch(self, spark, tmp_path, monkeypatch):
+        from ccnet_spark_spark.sources import tables as t
+
+        path = str(tmp_path / "frag2")
+        spark.createDataFrame([(1, "a")], "doc_id long, text string").write.parquet(path)
+        real_read = spark.read.parquet
+        # sabotage the verification read of the tmp dir only
+        class FakeReader:
+            def parquet(self, p):
+                df = real_read(p)
+                return df.limit(0) if p.endswith("_compact_tmp") else df
+        monkeypatch.setattr(type(spark), "read", property(lambda s: FakeReader()))
+        with pytest.raises(RuntimeError, match="row-count mismatch"):
+            t.compact_result(spark, path, target_rows_per_file=10)
+        monkeypatch.undo()
+        # original data untouched
+        assert spark.read.parquet(path).count() == 1
