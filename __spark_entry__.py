@@ -1432,6 +1432,31 @@ def q_image_stats(spark, sf_dir):
     return image_stats(generate_pairs(spark, 200))
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling: 60 deterministic concatenated-ppm videos
+    demuxed by walking frame headers in mapInPandas, every 2nd frame
+    emitted. Oracle = an INDEPENDENT regex-based walker's expected table
+    (tools/make_fixtures.py); frames compared by sha256 so DuckDB matches
+    payload bytes without binary support."""
+    from ccnet_spark_spark.operators.multimodal import frame_sample
+    from ccnet_spark_spark.synth import generate_videos
+
+    frames = frame_sample(generate_videos(spark, 60), every_k=2)
+    return frames.select(
+        "video_id", "frame_idx", F.sha2("frame_bytes", 256).alias("frame_sha"), "w", "h"
+    )
+
+
+def q_audio_stats(spark, sf_dir):
+    """Audio waveform features over s16le PCM payloads (sample count,
+    duration, RMS, peak) — numpy math in mapInPandas. Oracle = expected
+    table recomputed by an INDEPENDENT struct.iter_unpack implementation."""
+    from ccnet_spark_spark.operators.multimodal import audio_stats
+    from ccnet_spark_spark.synth import generate_audio
+
+    return audio_stats(generate_audio(spark, 100))
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (vectorized pandas UDF). Oracle = pinned
     expected hashes from an INDEPENDENT pure-int SimHash re-implementation
@@ -1830,6 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_source": _wrap(q_orc_source),
         "payload_passthrough": _wrap(q_payload_passthrough),
         "image_stats": _wrap(q_image_stats),
+        "frame_sample": _wrap(q_frame_sample),
+        "audio_stats": _wrap(q_audio_stats),
         "image_resize": _wrap(q_image_resize),
         "simhash": _wrap(q_simhash),
         "simhash_neardup": _wrap(q_simhash_neardup),
@@ -2390,6 +2417,12 @@ def oracle_sql() -> dict[str, str]:
         # bit math, so the fixture carries the recomputed values.
         "image_stats": (
             f"select * from read_parquet('{_fixture('image_stats200_expected.parquet')}')"
+        ),
+        "frame_sample": (
+            f"select * from read_parquet('{_fixture('frame_sample_expected.parquet')}')"
+        ),
+        "audio_stats": (
+            f"select * from read_parquet('{_fixture('audio_stats_expected.parquet')}')"
         ),
         "image_resize": (
             f"select * from read_parquet('{_fixture('image_resize200_expected.parquet')}')"

@@ -116,3 +116,80 @@ def image_embedding(df: DataFrame, dim: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=EMBED_SCHEMA)
+
+
+# ------------------------------------------------------ video / audio ops
+FRAME_SCHEMA = "video_id string, frame_idx int, frame_bytes binary, w int, h int"
+
+
+def frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling over concatenated-P6-ppm video payloads: parse the
+    container by walking frame headers (header line gives w,h -> frame byte
+    length), emit every k-th frame as its own payload row. Real byte-level
+    demux in mapInPandas (Arrow batches; payload crosses once per video,
+    never per row) — the pattern a real codec slots into: swap the ppm
+    walker for an mp4 demuxer behind the same signature. Scale notes as for
+    image ops: narrow projection first, one Arrow crossing, output is
+    per-frame rows ready for the image operators (stats/resize/embed)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                data = bytes(data)
+                pos, idx = 0, 0
+                while pos < len(data):
+                    nl = data.index(b"\n", pos)
+                    magic, w, h, _maxv = data[pos:nl].split()
+                    assert magic == b"P6", f"bad frame header at {pos} in {vid}"
+                    w, h = int(w), int(h)
+                    end = nl + 1 + w * h * 3
+                    if idx % every_k == 0:
+                        rows.append(
+                            {
+                                "video_id": vid,
+                                "frame_idx": idx,
+                                "frame_bytes": data[pos:end],
+                                "w": w,
+                                "h": h,
+                            }
+                        )
+                    pos, idx = end, idx + 1
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "frame_bytes", "w", "h"])
+
+    return df.select("video_id", "bytes").mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "audio_id string, n_samples bigint, duration_ms bigint, rms double, peak int"
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Waveform feature extraction over s16le mono PCM payloads: sample
+    count, duration, RMS level, absolute peak — numpy-vectorized per Arrow
+    batch in mapInPandas. The real-codec story mirrors images: compressed
+    formats (mp3/flac) would decode behind the same signature (soundfile /
+    ffmpeg gates, absent in this container — the PCM math IS real)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, data, rate in zip(pdf["audio_id"], pdf["bytes"], pdf["sample_rate"]):
+                pcm = np.frombuffer(bytes(data), dtype="<i2")
+                rows.append(
+                    {
+                        "audio_id": aid,
+                        "n_samples": len(pcm),
+                        "duration_ms": int(len(pcm) * 1000 // int(rate)),
+                        "rms": round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 4),
+                        "peak": int(np.abs(pcm).max()) if len(pcm) else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "n_samples", "duration_ms", "rms", "peak"]
+            )
+
+    return df.select("audio_id", "bytes", "sample_rate").mapInPandas(op, schema=AUDIO_STATS_SCHEMA)

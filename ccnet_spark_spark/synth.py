@@ -175,3 +175,69 @@ def write_pairs(spark, path: str, n_rows: int, seed: int = DEFAULT_SEED, partiti
     bin-packing), silently under-using the larger cluster — pass an explicit
     count >= the largest parallelism that will read it."""
     generate_pairs(spark, n_rows, seed, partitions).write.mode("overwrite").parquet(path)
+
+
+# ------------------------------------------------- multimodal extensions
+# Video = concatenated P6 ppm frames (real container parsing, no external
+# codec); audio = s16le mono PCM. Both pure functions of (i, seed) like
+# gen_row, so fixtures and the engine derive identical inputs.
+def gen_video_row(i: int, n_frames: int = 6, seed: int = DEFAULT_SEED) -> dict:
+    from .codecs import encode_ppm
+
+    frames = []
+    for f in range(n_frames):
+        rng = np.random.default_rng([seed, 101, i, f])
+        px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+        frames.append(encode_ppm(px))
+    return {
+        "video_id": f"vid{i:08d}",
+        "bytes": b"".join(frames),
+        "n_frames": n_frames,
+        "w": 6,
+        "h": 4,
+    }
+
+
+VIDEOS_SCHEMA = "video_id string, bytes binary, n_frames int, w int, h int"
+
+
+def generate_videos(spark, n_rows: int, n_frames: int = 6, seed: int = DEFAULT_SEED, partitions: int | None = None):
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield pd.DataFrame([gen_video_row(int(i), n_frames, seed) for i in ids])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(gen, schema=VIDEOS_SCHEMA)
+
+
+AUDIO_RATE = 16_000
+
+
+def gen_audio_row(i: int, seed: int = DEFAULT_SEED) -> dict:
+    rng = np.random.default_rng([seed, 202, i])
+    n = int(rng.integers(AUDIO_RATE // 4, AUDIO_RATE))  # 0.25-1.0 s
+    t = np.arange(n, dtype=np.float64)
+    freq = 100.0 + float(rng.integers(0, 900))
+    wave = 0.5 * np.sin(2 * np.pi * freq * t / AUDIO_RATE) + 0.05 * rng.standard_normal(n)
+    pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+    return {"audio_id": f"aud{i:08d}", "bytes": pcm.tobytes(), "sample_rate": AUDIO_RATE}
+
+
+AUDIO_SCHEMA = "audio_id string, bytes binary, sample_rate int"
+
+
+def generate_audio(spark, n_rows: int, seed: int = DEFAULT_SEED, partitions: int | None = None):
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield pd.DataFrame([gen_audio_row(int(i), seed) for i in ids])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(gen, schema=AUDIO_SCHEMA)

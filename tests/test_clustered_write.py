@@ -124,3 +124,21 @@ class TestCompaction:
         monkeypatch.undo()
         # original data untouched
         assert spark.read.parquet(path).count() == 1
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Incremental loads evolve schemas (a new metadata column appears in
+    later batches). mergeSchema read unions the schemas; old rows carry
+    NULL for the new column — the pattern the engine's incremental loads
+    rely on (Iceberg handles this natively; parquet needs the option)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "old row")], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "new row", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(path)
+    got = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(got.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r.lang for r in got.collect()}
+    assert rows == {1: None, 2: "en"}

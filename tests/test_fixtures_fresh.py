@@ -112,3 +112,28 @@ def test_source_format_fixtures_fresh():
 
     orc = pyarrow.orc.read_table(os.path.join(FIX, "documents_sf001.orc")).to_pandas()
     pd.testing.assert_frame_equal(orc, orig, obj=STALE)
+
+
+def test_multimodal_fixtures_fresh():
+    """frame/audio expected tables must track the shared input generators
+    (spot-check a few ids through the INDEPENDENT recompute paths)."""
+    import importlib
+
+    disk_f = pd.read_parquet(os.path.join(FIX, "frame_sample_expected.parquet"))
+    assert len(disk_f) == 180, STALE
+    disk_a = pd.read_parquet(os.path.join(FIX, "audio_stats_expected.parquet"))
+    assert len(disk_a) == 100, STALE
+    mf2 = importlib.import_module("make_fixtures")
+    import hashlib, re
+    from ccnet_spark_spark.synth import gen_audio_row, gen_video_row
+
+    v = gen_video_row(3, 6)
+    m = re.match(rb"^P6 (\d+) (\d+) 255\n", v["bytes"])
+    w, h = int(m.group(1)), int(m.group(2))
+    first = v["bytes"][: m.end() + w * h * 3]
+    row = disk_f[(disk_f.video_id == v["video_id"]) & (disk_f.frame_idx == 0)].iloc[0]
+    assert row["frame_sha"] == hashlib.sha256(first).hexdigest(), STALE
+
+    a = gen_audio_row(7)
+    row = disk_a[disk_a.audio_id == a["audio_id"]].iloc[0]
+    assert row["n_samples"] * 2 == len(a["bytes"]), STALE

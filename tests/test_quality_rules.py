@@ -406,3 +406,45 @@ class TestApproxDistinct:
         assert out.columns == ["doc_id", "lang", "stratum"]
         assert out.count() == 50
         assert out.where(F.col("stratum").startswith("keep_me_")).count() == 50
+
+
+class TestVideoAudioOps:
+    def test_frame_sample_every_k_and_roundtrip(self, spark):
+        from ccnet_spark_spark.codecs import decode_ppm
+        from ccnet_spark_spark.operators.multimodal import frame_sample
+        from ccnet_spark_spark.synth import gen_video_row, generate_videos
+
+        out = frame_sample(generate_videos(spark, 4, n_frames=6), every_k=3).collect()
+        # frames 0 and 3 of each of 4 videos
+        assert sorted({r.frame_idx for r in out}) == [0, 3]
+        assert len(out) == 8
+        # sampled frame decodes to the exact generated pixels
+        r0 = next(r for r in out if r.video_id == "vid00000002" and r.frame_idx == 3)
+        import numpy as np
+
+        v = gen_video_row(2, 6)
+        # frame 3 of the source video: decode via the engine codec
+        px = decode_ppm(bytes(r0.frame_bytes))
+        assert px.shape == (4, 6, 3)
+        # regenerate frame 3 independently from the pure generator
+        from ccnet_spark_spark.synth import DEFAULT_SEED
+
+        rng = np.random.default_rng([DEFAULT_SEED, 101, 2, 3])
+        exp = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+        assert (px == exp).all()
+
+    def test_audio_stats_known_waveform(self, spark):
+        import numpy as np
+
+        from ccnet_spark_spark.operators.multimodal import audio_stats
+
+        pcm = np.array([0, 100, -100, 32767], dtype="<i2")
+        df = spark.createDataFrame(
+            [("a1", bytearray(pcm.tobytes()), 16000)],
+            "audio_id string, bytes binary, sample_rate int",
+        )
+        row = audio_stats(df).collect()[0]
+        assert row.n_samples == 4
+        assert row.duration_ms == 0  # 4 samples @16k = 0.25 ms -> floor 0
+        assert row.peak == 32767
+        assert row.rms == round(float(np.sqrt((0 + 100**2 + 100**2 + 32767**2) / 4)), 4)

@@ -60,6 +60,72 @@ def make_pairs_phash(n: int = 400) -> None:
     print(f"pairs400_phash.parquet: {len(df)} rows")
 
 
+def make_frame_sample_expected(n: int = 60, n_frames: int = 6, every_k: int = 2) -> None:
+    """Expected frame-sampling output: the INPUT videos come from the shared
+    pure generator (synth.gen_video_row), but the container is demuxed by an
+    INDEPENDENT walker (regex header parse + manual offsets, not the
+    engine's index/split code) — engine and oracle share only the P6 spec."""
+    import hashlib
+    import re
+
+    from ccnet_spark_spark.synth import gen_video_row
+
+    rows = []
+    header_re = re.compile(rb"^P6 (\d+) (\d+) 255\n")
+    for i in range(n):
+        v = gen_video_row(i, n_frames)
+        data, pos, idx = v["bytes"], 0, 0
+        while pos < len(data):
+            m = header_re.match(data[pos:])
+            assert m, f"bad header in video {i} at {pos}"
+            w, h = int(m.group(1)), int(m.group(2))
+            end = pos + m.end() + w * h * 3
+            if idx % every_k == 0:
+                rows.append(
+                    {
+                        "video_id": v["video_id"],
+                        "frame_idx": idx,
+                        "frame_sha": hashlib.sha256(data[pos:end]).hexdigest(),
+                        "w": w,
+                        "h": h,
+                    }
+                )
+            pos, idx = end, idx + 1
+    out = pd.DataFrame(rows)
+    out.to_parquet(os.path.join(FIXTURES, "frame_sample_expected.parquet"), index=False)
+    print(f"frame_sample_expected.parquet: {len(out)} rows")
+
+
+def make_audio_stats_expected(n: int = 100) -> None:
+    """Expected audio stats via an INDEPENDENT PCM path: struct.iter_unpack
+    + math (not the engine's numpy frombuffer/vector ops)."""
+    import math
+    import struct
+
+    from ccnet_spark_spark.synth import gen_audio_row
+
+    rows = []
+    for i in range(n):
+        a = gen_audio_row(i)
+        samples = [s for (s,) in struct.iter_unpack("<h", a["bytes"])]
+        sq = sum(float(s) * float(s) for s in samples)
+        rows.append(
+            {
+                "audio_id": a["audio_id"],
+                "n_samples": len(samples),
+                "duration_ms": len(samples) * 1000 // a["sample_rate"],
+                "rms": round(math.sqrt(sq / len(samples)), 4),
+                "peak": max(abs(s) for s in samples),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["n_samples"] = out["n_samples"].astype("int64")
+    out["duration_ms"] = out["duration_ms"].astype("int64")
+    out["peak"] = out["peak"].astype("int32")
+    out.to_parquet(os.path.join(FIXTURES, "audio_stats_expected.parquet"), index=False)
+    print(f"audio_stats_expected.parquet: {len(out)} rows")
+
+
 def make_source_formats(sf_dir: str = "/root/testdata/sf0.01") -> None:
     """The sf0.01 documents table re-encoded as JSONL, CSV, and ORC —
     source-format breadth fixtures: the engine reads each with an explicit
@@ -237,6 +303,8 @@ if __name__ == "__main__":
     make_pairs_phash()
     make_keepdrop_labels()
     make_source_formats()
+    make_frame_sample_expected()
+    make_audio_stats_expected()
     make_image_stats_expected()
     make_image_resize_expected()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
