@@ -184,7 +184,10 @@ def audio_stats(df: DataFrame) -> DataFrame:
                         "audio_id": aid,
                         "n_samples": len(pcm),
                         "duration_ms": int(len(pcm) * 1000 // int(rate)),
-                        "rms": round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 4),
+                        # empty payload -> 0.0, not NaN (np.mean([]) warns+NaNs)
+                        "rms": round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 4)
+                        if len(pcm)
+                        else 0.0,
                         "peak": int(np.abs(pcm).max()) if len(pcm) else 0,
                     }
                 )

@@ -74,17 +74,26 @@ def compact_result(
     rewrite_data_files instead; this is the parquet-path equivalent.)"""
     import shutil
 
+    tmp = path.rstrip("/") + "_compact_tmp"
+    old = path.rstrip("/") + "_compact_old"
+    # a previous crashed compaction may have left either sibling behind; tmp
+    # is always discardable, but a leftover `old` means the prior swap died
+    # between its two renames — refuse rather than guess which copy is live
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"stale {old} exists — a previous compaction died mid-swap; "
+            "inspect and remove it manually before compacting again"
+        )
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-    tmp = path.rstrip("/") + "_compact_tmp"
-    old = path.rstrip("/") + "_compact_old"
-    writer = df.repartition(n_files)
     if partition_cols:
         writer = df.repartition(n_files, *[F.col(c) for c in partition_cols])
         writer.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
     else:
-        writer.write.mode("overwrite").parquet(tmp)
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     # verify BEFORE the swap — a bad rewrite must never replace good data
     if spark.read.parquet(tmp).count() != n_rows:
         shutil.rmtree(tmp)

@@ -448,3 +448,12 @@ class TestVideoAudioOps:
         assert row.duration_ms == 0  # 4 samples @16k = 0.25 ms -> floor 0
         assert row.peak == 32767
         assert row.rms == round(float(np.sqrt((0 + 100**2 + 100**2 + 32767**2) / 4)), 4)
+
+    def test_audio_stats_empty_payload(self, spark):
+        from ccnet_spark_spark.operators.multimodal import audio_stats
+
+        df = spark.createDataFrame(
+            [("e", bytearray(b""), 16000)], "audio_id string, bytes binary, sample_rate int"
+        )
+        row = audio_stats(df).collect()[0]
+        assert (row.n_samples, row.duration_ms, row.rms, row.peak) == (0, 0, 0.0, 0)
