@@ -9,9 +9,15 @@ so engine and oracle cannot silently diverge.
 Notes on table mapping: the engine's native input is the image+caption
 ``pairs`` table (synthesized deterministically — see ccnet_spark_spark.synth);
 the driver's ``documents`` table is single-line text, so line-level operators
-split on spaces there (same operator, different separator). Model-backed and
-approximate operators (pairs pipeline, simhash, LSH ANN, image stats) have no
-SQL twin and are registered as rows-only checks.
+split on spaces there (same operator, different separator), and line-granular
+rules compose deterministic multi-line docs (``_mdocs4``).
+
+Operators DuckDB cannot recompute natively (image/video/audio codecs,
+blake2b SimHash, the native pairs input) are oracle-checked through FIXTURE
+PARQUETS: checked-in expected tables built by INDEPENDENT re-implementations
+(tools/make_fixtures.py), read by the oracle SQL via read_parquet. Only
+``ivf_ann`` is rows-only (nprobe<k recall has no exact twin; its machinery
+is verified via ``ivf_exhaustive`` and pytest recall bounds).
 """
 
 from __future__ import annotations
