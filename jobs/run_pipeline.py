@@ -17,7 +17,13 @@ Arrow). With --partitions it runs the checkpoint/lineage sidecar protocol
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# local runs (`python jobs/run_pipeline.py`) need the repo root importable;
+# under spark-submit --py-files the zip already provides the package and
+# this insert is a harmless no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -33,12 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lm-dir", default=None)
     ap.add_argument("--partitions", default=None, help="resumable mode: comma-separated partition ids (subdirs of --input)")
     ap.add_argument("--write-payload", action="store_true", help="rewrite image bytes into the output (default: verdict/label table only)")
+    ap.add_argument("--id-col", default="image_id", help="key column (e.g. doc_id for document tables)")
+    ap.add_argument("--text-col", default="caption", help="text column (e.g. text for document tables)")
+    ap.add_argument("--lang-col", default=None, help="pre-labeled corpus: take language from this input column and skip LID")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
     from ccnet_spark_spark.operators.bucket import load_cutoffs_dict
-    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.plans.pipeline import ALL_STEPS, Config, Pipeline
     from ccnet_spark_spark.session import get_spark
     from ccnet_spark_spark.sources import tables
 
@@ -52,21 +61,26 @@ def main(argv: list[str] | None = None) -> int:
         selected_langs=args.langs.split(",") if args.langs else None,
         cutoffs=load_cutoffs_dict(args.cutoffs) if args.cutoffs else None,
         cutoffs_csv=args.cutoffs,
+        lang_col=args.lang_col,
+        steps=[st for st in ALL_STEPS if st != "lid"] if args.lang_col else list(ALL_STEPS),
     )
     pipe = Pipeline(spark, cfg)
 
+    def run_one(df):
+        return pipe.run(df, id_col=args.id_col, text_col=args.text_col)
+
     def finalize(df):
-        out = df if args.write_payload else df.drop("bytes")
+        out = df if args.write_payload or "bytes" not in df.columns else df.drop("bytes")
         return out.withColumn("lang", F.coalesce("lang", F.lit("__null__")))
 
     if args.partitions:
         parts = {
             pid: spark.read.parquet(f"{args.input}/{pid}") for pid in args.partitions.split(",")
         }
-        done = tables.run_resumable(spark, parts, args.output, lambda df: finalize(pipe.run(df)))
+        done = tables.run_resumable(spark, parts, args.output, lambda df: finalize(run_one(df)))
         print(f"processed partitions: {done}")
     else:
-        result = finalize(pipe.run(spark.read.parquet(args.input)))
+        result = finalize(run_one(spark.read.parquet(args.input)))
         tables.write_result(result, args.output)
         kept = spark.read.parquet(args.output).where(F.col("keep")).count()
         print(f"wrote {args.output}; kept={kept}")
