@@ -1349,7 +1349,11 @@ def q_phash_neardup(spark, sf_dir):
         F.concat(F.col("image_id"), F.lit("_top")).alias("image_id"),
         F.col("phash").bitwiseXOR(F.lit((1 << 50) | (1 << 55))).alias("phash"),
     )
-    corpus = base.union(low).union(top)
+    # localCheckpoint: the (id, phash) table is ~440 rows but feeds FOUR
+    # plan branches (two join sides x two rotation passes) — without it
+    # each branch re-runs the full pair generator incl. image payloads
+    # (measured 3.8 s -> 1.0 s warm)
+    corpus = base.union(low).union(top).localCheckpoint()
     return dedup.hash64_neardup_pairs(
         corpus, "image_id", "phash", prefix_bits=16, max_hamming=8, passes=2
     )
