@@ -457,3 +457,39 @@ class TestVideoAudioOps:
         )
         row = audio_stats(df).collect()[0]
         assert (row.n_samples, row.duration_ms, row.rms, row.peak) == (0, 0, 0.0, 0)
+
+
+class TestRound3QueryEdges:
+    def test_gapfill_single_event_user(self, spark):
+        # a user with one event gets a one-hour spine with exactly that count
+        from pyspark.sql import functions as F2
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:15:00", 1.0)], "user_id long, ts string, value double"
+        ).select("user_id", F2.col("ts").cast("timestamp").alias("ts"), "value")
+        hour = F2.date_trunc("hour", F2.col("ts"))
+        per = df.select("user_id", hour.alias("h")).groupBy("user_id", "h").count()
+        spans = df.select("user_id", hour.alias("h")).groupBy("user_id").agg(
+            F2.min("h").alias("h0"), F2.max("h").alias("h1")
+        )
+        spine = spans.select(
+            "user_id", F2.explode(F2.sequence("h0", "h1", F2.expr("interval 1 hour"))).alias("h")
+        )
+        out = spine.join(per, ["user_id", "h"], "left").collect()
+        assert len(out) == 1 and out[0]["count"] == 1
+
+    def test_merge_upsert_replaces_not_duplicates(self, spark):
+        import __spark_entry__ as e
+
+        out = e.q_merge_upsert(spark, "/root/testdata/sf0.001")
+        ids = [r.doc_id for r in out.select("doc_id").collect()]
+        assert len(ids) == len(set(ids))  # exactly-once per key
+
+    def test_table_diff_statuses(self, spark):
+        import __spark_entry__ as e
+
+        rows = e.q_table_diff(spark, "/root/testdata/sf0.001").collect()
+        statuses = {r.status for r in rows}
+        assert statuses == {"added", "removed", "changed"}
+        added = [r.doc_id for r in rows if r.status == "added"]
+        assert all(i >= 900000 for i in added) and len(added) == 5
