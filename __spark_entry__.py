@@ -1074,6 +1074,44 @@ def _c4_planted_sql() -> str:
     )
 
 
+def q_corpus_build(spark, sf_dir):
+    """THE end-to-end corpus constructor, composing four oracle-checked
+    families in one job: quality gates (ccnet chain AND Gopher word AND
+    repetition rules) -> MinHash-LSH near-dedup over the survivors ->
+    per-language stratified rebalance (en halved, tails kept whole). Output
+    is the final training-corpus id/lang/bucket list — the query a 100 TB
+    corpus run actually ships. DuckDB twin composes the same four twins."""
+    from ccnet_spark_spark.plans.pipeline import ALL_STEPS, Config, Pipeline
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    # chain via the PRE-LABELED path (documents' wordlist is outside the
+    # stub-LID vocabulary, so the LID path would drop everything as
+    # lid_null — the same reason ccnet_chain_lines uses lang_col)
+    cfg = Config(
+        min_len=MIN_LEN_DOCS,
+        cutoffs=_cutoffs(),
+        lang_col="lang",
+        steps=[s for s in ALL_STEPS if s != "lid"],
+    )
+    chain = (
+        Pipeline(spark, cfg)
+        .run(docs, id_col="doc_id", text_col="text")
+        .select("doc_id", "bucket", F.col("keep").alias("chain_keep"))
+    )
+    words = q_gopher_rules(spark, sf_dir).select("doc_id", F.col("keep").alias("word_keep"))
+    reps = q_gopher_ngrams(spark, sf_dir).select("doc_id", "keep_rep")
+    survivors = (
+        chain.join(words, "doc_id")
+        .join(reps, "doc_id")
+        .where(F.col("chain_keep") & F.col("word_keep") & F.col("keep_rep"))
+        .select("doc_id", "bucket")
+    )
+    kept = docs.join(survivors, "doc_id")
+    dd = dedup.minhash_lsh_dedup(kept, "doc_id", "text", num_hashes=8, num_bands=4, shingle_n=3)
+    out = sample.stratified_hash_sample(dd, "doc_id", "lang", {"en": 128}, default_256=256)
+    return out.select("doc_id", "lang", "bucket")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: an eval set (every 50th doc) + planted
     leaked copies of it are removed from the corpus by shared-8-gram
@@ -1850,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _wrap(q_c4_filters),
         "cutoff_train": _wrap(q_cutoff_train),
         "quality_chain": _wrap(q_quality_chain),
+        "corpus_build": _wrap(q_corpus_build),
         "decontaminate": _wrap(q_decontaminate),
         "incremental_dedup": _wrap(q_incremental_dedup),
         "selfcal_bucket": _wrap(q_selfcal_bucket),
@@ -1921,6 +1960,22 @@ def oracle_sql() -> dict[str, str]:
         "from sigs where sig[1] <> 'z')"
     )
     cutoffs = _cutoffs()
+    qc_sql = (
+        "with chain as (select doc_id, bucket, keep as chain_keep from ("
+        + _ccnet_chain_sql(cutoffs)
+        + ") c), "
+        "words as (select doc_id, keep as word_keep from ("
+        + quality_rules.gopher_word_rules_sql("documents", "doc_id", "text", min_words=40)
+        + ") w), "
+        "reps as (select doc_id, keep_rep from ("
+        + quality_rules.gopher_ngram_stats_sql(
+            "documents", "doc_id", "text", top_ns=(2, 3), dup_ns=(5,)
+        )
+        + ") r) "
+        "select doc_id, bucket, chain_keep, word_keep, keep_rep, "
+        "chain_keep and word_keep and keep_rep as final_keep "
+        "from chain join words using (doc_id) join reps using (doc_id)"
+    )
     fp_toks = "string_split(text, ' ')"
     cos = (
         "round(list_sum(list_transform(range(1, len(a.embedding) + 1), "
@@ -2384,10 +2439,25 @@ def oracle_sql() -> dict[str, str]:
             "else 'tail' end as bucket "
             "from src s left join cut c using (lang)"
         ),
-        "quality_chain": (
-            "with chain as (select doc_id, bucket, keep as chain_keep from ("
-            + _ccnet_chain_sql(cutoffs)
-            + ") c), "
+        "quality_chain": qc_sql,
+        "corpus_build": (
+            # pre-labeled single-line chain (lang from the table, no LID —
+            # same fragments the green ccnet_chain_lines twin uses), then
+            # Gopher gates, then LSH near-dedup restricted to survivors
+            # (signatures are per-doc independent, so banding over all docs
+            # restricted on BOTH join sides equals banding the subset),
+            # then the stratified predicate
+            "with base as (select doc_id, text, lang, length(text) as ol from documents), "
+            "kept as (select doc_id, text as dedup_caption, lang from ("
+            f"select doc_id, text, lang, {hashing.line_hash_sql(norm)} as hv from base "
+            f"where ol >= {MIN_LEN_DOCS}) "
+            "qualify row_number() over (partition by hv order by doc_id) = 1), "
+            "pb as (select doc_id, lang, "
+            f"case when lang in ({', '.join(repr(l) for l in sorted(models_mod.VOCAB))}) "
+            f"then {_pp_sql('dedup_caption')} end as pp from kept), "
+            "chainq as (select doc_id, "
+            + bucket_op.bucket_case_sql("pp", "lang", cutoffs)
+            + " as bucket from pb), "
             "words as (select doc_id, keep as word_keep from ("
             + quality_rules.gopher_word_rules_sql("documents", "doc_id", "text", min_words=40)
             + ") w), "
@@ -2395,10 +2465,24 @@ def oracle_sql() -> dict[str, str]:
             + quality_rules.gopher_ngram_stats_sql(
                 "documents", "doc_id", "text", top_ns=(2, 3), dup_ns=(5,)
             )
-            + ") r) "
-            "select doc_id, bucket, chain_keep, word_keep, keep_rep, "
-            "chain_keep and word_keep and keep_rep as final_keep "
-            "from chain join words using (doc_id) join reps using (doc_id)"
+            + ") r), "
+            "qc as (select c.doc_id, c.bucket from chainq c "
+            "join words w using (doc_id) join reps r using (doc_id) "
+            "where w.word_keep and r.keep_rep), "
+            + sig_cte[len("with ") :]
+            + ", "
+            "surv_bands as (select b.doc_id, b.band_key from bands b "
+            "join qc on qc.doc_id = b.doc_id), "
+            "losers as (select distinct b.doc_id from surv_bands a "
+            "join surv_bands b using (band_key) where a.doc_id < b.doc_id), "
+            "dd as (select qc.doc_id, qc.bucket from qc "
+            "where qc.doc_id not in (select doc_id from losers)) "
+            "select d.doc_id, docs.lang, d.bucket from dd d "
+            "join documents docs using (doc_id) "
+            "where "
+            + sample.stratified_hash_sample_sql(
+                "d.doc_id", "docs.lang", {"en": 128}, default_256=256
+            )
         ),
         "ccnet_chain": _ccnet_chain_sql(cutoffs),
         "ccnet_chain_lines": _ccnet_chain_lines_sql(cutoffs),
