@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "selfcal_bucket",
     "quality_chain",
+    "corpus_build",
     "ccnet_chain",
     "ccnet_chain_lines",
 ]
