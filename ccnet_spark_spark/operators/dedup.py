@@ -174,24 +174,35 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_hashes: in
         ]
         sentinel = F.lit(hashing.SENTINEL_SHA2)  # > any hex char
     mins = [F.min(F.when(present, h)).alias(f"_mh{s}") for s, h in enumerate(per_seed)]
-    agged = exploded.groupBy(id_col).agg(*mins)
+    # has_shingles is the EXPLICIT empty-doc marker: banding filters on it
+    # rather than on the sentinel value, so a real min hash that happens to
+    # collide with the sentinel (possible in principle on the int64 path)
+    # can never be mistaken for "no shingles"
+    agged = exploded.groupBy(id_col).agg(*mins, F.max(present).alias("has_shingles"))
     sig = F.array(*[F.coalesce(F.col(f"_mh{s}"), sentinel) for s in range(num_hashes)])
-    return agged.select(id_col, sig.alias("signature"))
+    return agged.select(id_col, sig.alias("signature"), "has_shingles")
 
 
 def minhash_lsh_candidates(sigs: DataFrame, id_col: str, num_bands: int = 4, rows_per_band: int = 4) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing >=1 LSH band.
 
-    Shingle-less docs (< shingle_n tokens) carry the SENTINEL signature and
-    are excluded before banding: they all share every band key, so one
-    short-doc-heavy corpus would otherwise create a single skewed band group
-    generating O(k^2) candidate pairs (and minhash_lsh_dedup would silently
-    drop every shingle-less doc but one as "near duplicates"). A doc too
-    short to shingle has no MinHash evidence of similarity to anything —
-    correct candidate set for it is empty. The SQL twins apply the same
-    sig[1] <> sentinel filter."""
-    first = F.element_at(F.col("signature"), 1).cast("string")
-    real = sigs.where(~first.isin(hashing.SENTINEL_SHA2, str(hashing.SENTINEL_XXHASH)))
+    Shingle-less docs (< shingle_n tokens) are excluded before banding: they
+    all share every band key, so one short-doc-heavy corpus would otherwise
+    create a single skewed band group generating O(k^2) candidate pairs (and
+    minhash_lsh_dedup would silently drop every shingle-less doc but one as
+    "near duplicates"). A doc too short to shingle has no MinHash evidence
+    of similarity to anything — correct candidate set for it is empty.
+
+    The filter uses the explicit `has_shingles` column carried by
+    minhash_signatures when present (the sentinel VALUE check alone could
+    in principle alias a real int64 min hash equal to 2^63-1); bare
+    signature frames built elsewhere fall back to the sentinel check, which
+    the SQL twins mirror as sig[1] <> sentinel."""
+    if "has_shingles" in sigs.columns:
+        real = sigs.where(F.col("has_shingles"))
+    else:
+        first = F.element_at(F.col("signature"), 1).cast("string")
+        real = sigs.where(~first.isin(hashing.SENTINEL_SHA2, str(hashing.SENTINEL_XXHASH)))
     banded = real.select(
         id_col, F.explode(hashing.band_keys_expr(F.col("signature"), num_bands, rows_per_band)).alias("band_key")
     )

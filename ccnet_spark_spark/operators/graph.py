@@ -30,12 +30,19 @@ def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iterations: int = 25
 ) -> DataFrame:
     """(node, cluster) for every node appearing in `edges` (undirected);
-    cluster = min node id of the connected component."""
+    cluster = min node id of the connected component.
+
+    RAISES if the iteration cap is exhausted before fixpoint: returning
+    partially-propagated labels would silently under-collapse clusters
+    (a component with diameter > max_iterations would keep several
+    cluster ids). Callers with genuinely deep graphs raise the cap — the
+    failure must be loud, never a quietly-wrong dedup."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    changed = 1
     for _ in range(max_iterations):
         neigh = (
             sym.join(labels, sym.v == labels.node)
@@ -60,6 +67,12 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (component diameter exceeds the cap); raise "
+            "max_iterations — partial labels would under-collapse clusters"
+        )
     return labels.select("node", F.col("lbl").alias("cluster"))
 
 

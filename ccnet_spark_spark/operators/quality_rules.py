@@ -3,9 +3,10 @@
 These are the published web-corpus quality-filter heuristics (Rae et al. 2021
 "Scaling Language Models" appendix A1.1; Raffel et al. 2020 C4 §2.2) that a
 100 TB caption-cleaning pipeline runs alongside ccnet's perplexity bucketing
-(reference analogue: the heuristic keep/drop rules in
-/root/reference/pipe_filter.py — length + ratio gates; these extend that
-family with the repetition- and line-level rules the reference lacks).
+(reference analogue: the min-length keep/drop gate in
+/root/reference/pipe_load.py:164-170 — its only heuristic filter; these
+extend that family with the repetition- and line-level rules the
+reference lacks).
 
 Scale notes:
 - the n-gram statistics use the EXPLODE + groupBy shape (one shuffle keyed by

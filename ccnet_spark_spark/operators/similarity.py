@@ -123,8 +123,22 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id", vec_
 def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding", k: int = 16, sample_rows: int = 2048, iters: int = 8, seed: int = 42) -> np.ndarray:
     """Driver-side mini k-means over a bounded sample (the IVF 'train' step;
     at 100 TB you train on a sample anyway — the sample size, not the corpus,
-    bounds driver memory)."""
-    sample = df.select(vec_col).limit(sample_rows).toPandas()[vec_col]
+    bounds driver memory).
+
+    The sample is a deterministic CORPUS-WIDE draw: order by a content hash
+    of the vector, take the first sample_rows (TakeOrdered — per-partition
+    partial top-n, no full sort shuffle, driver merges n rows). A plain
+    limit() would take the first scanned partition's rows, so at scale the
+    centroids would train on one file's skewed distribution (skewed
+    centroids -> skewed IVF cells -> hot probe partitions); the hash order
+    is also invariant to partition count/order, so training is reproducible
+    across cluster layouts and retries."""
+    sample = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_rows)
+        .toPandas()[vec_col]
+    )
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

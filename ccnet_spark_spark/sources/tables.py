@@ -67,11 +67,18 @@ def compact_result(
     files; thousands of tiny files tank scan planning and HDFS/S3 metadata).
     Rewrites the dataset into ceil(rows / target_rows_per_file) files via a
     round-robin repartition (or per-hive-partition layout when
-    partition_cols given), then ATOMICALLY swaps directories: write to
-    sibling tmp -> rename old out of the way -> rename new in -> drop old.
-    Readers either see the old complete dataset or the new one, never a
-    mix. Returns the file count after compaction. (Iceberg deployment uses
-    rewrite_data_files instead; this is the parquet-path equivalent.)"""
+    partition_cols given), then swaps directories: write to sibling tmp ->
+    rename old out of the way -> rename new in -> drop old. Readers see
+    either the old complete dataset or the new one, never a MIX of files —
+    but the two renames are not one atomic operation: there is a brief
+    window in which `path` does not exist (a concurrent reader errors and
+    must retry), and a crash between the renames leaves the table offline
+    until the stale-`old` guard below is resolved (``old`` then holds the
+    complete pre-compaction data — rename it back to recover). True
+    always-available swaps need a symlink flip or a table format with
+    atomic snapshot commit; the Iceberg deployment uses
+    rewrite_data_files, which has neither window. Returns the file count
+    after compaction."""
     import shutil
 
     tmp = path.rstrip("/") + "_compact_tmp"
@@ -81,8 +88,10 @@ def compact_result(
     # between its two renames — refuse rather than guess which copy is live
     if os.path.exists(old):
         raise RuntimeError(
-            f"stale {old} exists — a previous compaction died mid-swap; "
-            "inspect and remove it manually before compacting again"
+            f"stale {old} exists — a previous compaction died mid-swap. "
+            f"{old} holds the COMPLETE pre-compaction dataset: if {path} is "
+            f"missing or partial, recover by renaming {old} back to {path}; "
+            f"otherwise delete {old}. Then compact again."
         )
     if os.path.exists(tmp):
         shutil.rmtree(tmp)

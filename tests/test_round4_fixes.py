@@ -1,0 +1,102 @@
+"""Round-4 fix regressions: IVF sampling determinism, CC convergence guard,
+explicit has_shingles marker, fixture/sf mismatch guard."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ccnet_spark_spark.operators import dedup, similarity
+from ccnet_spark_spark.operators.graph import connected_components
+
+
+def _emb_df(spark, n=300, dim=8, partitions=4, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = [(i, rng.standard_normal(dim).round(4).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").repartition(
+        partitions
+    )
+
+
+def test_ivf_centroids_partition_order_invariant(spark):
+    """Centroid training must be a corpus-wide deterministic draw: shuffling
+    the input rows across a different partition layout yields IDENTICAL
+    centroids (a limit()-based sample would train on whichever partition
+    happened to scan first)."""
+    df = _emb_df(spark, partitions=2)
+    # different partition count AND a different row order within partitions
+    reshuffled = _emb_df(spark, partitions=7).orderBy(F.col("vec_id").desc())
+    c1 = similarity.train_ivf_centroids(df, "embedding", k=4, sample_rows=128, seed=1)
+    c2 = similarity.train_ivf_centroids(reshuffled, "embedding", k=4, sample_rows=128, seed=1)
+    assert np.allclose(c1, c2)
+
+
+def test_ivf_centroids_sample_is_corpus_wide(spark):
+    """With two clearly separated partitions of vectors, the hash-ordered
+    sample must mix rows from both (limit() would see only the first)."""
+    import pandas as pd
+
+    a = [(i, [float(i + 1), 0.0]) for i in range(100)]
+    b = [(i + 1000, [0.0, float(i + 50)]) for i in range(100)]
+    df = spark.createDataFrame(a + b, "vec_id bigint, embedding array<double>").repartition(
+        2, F.col("vec_id")
+    )
+    sample = (
+        df.select("embedding")
+        .orderBy(F.xxhash64(F.col("embedding")))
+        .limit(50)
+        .toPandas()["embedding"]
+    )
+    firsts = pd.Series([v[0] for v in sample])
+    seconds = pd.Series([v[1] for v in sample])
+    assert (firsts > 0).any() and (seconds > 0).any()  # both populations drawn
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    # a 12-node path graph has diameter 11 -> cannot converge in 3 rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=3)
+    # and with enough rounds it converges to one component labeled 0
+    labels = connected_components(edges, max_iterations=15).collect()
+    assert {r["cluster"] for r in labels} == {0}
+
+
+def test_minhash_signatures_carry_has_shingles(spark):
+    docs = spark.createDataFrame(
+        [("a", "one two three four"), ("b", "xy")], ["doc_id", "text"]
+    )
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    rows = {r["doc_id"]: r["has_shingles"] for r in sigs.collect()}
+    assert rows == {"a": True, "b": False}
+    # banding filters on the explicit marker: the shingle-less doc never bands
+    cand = dedup.minhash_lsh_candidates(sigs, "doc_id", num_bands=4, rows_per_band=2)
+    assert cand.count() == 0
+
+
+def test_minhash_candidates_sentinel_fallback(spark):
+    """A bare signature frame (no has_shingles column) still filters via the
+    sentinel value — external callers keep working."""
+    from ccnet_spark_spark.functions import hashing
+
+    sigs = spark.createDataFrame(
+        [
+            ("a", ["11111111"] * 8),
+            ("b", ["11111111"] * 8),
+            ("s", [hashing.SENTINEL_SHA2] * 8),
+        ],
+        "doc_id string, signature array<string>",
+    )
+    cand = dedup.minhash_lsh_candidates(sigs, "doc_id", num_bands=4, rows_per_band=2)
+    pairs = [(r["id_a"], r["id_b"]) for r in cand.collect()]
+    assert pairs == [("a", "b")]  # the sentinel row never bands
+
+
+def test_fixture_sf_mismatch_raises(monkeypatch):
+    import __spark_entry__ as entry
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    entry._assert_fixture_sf("/root/testdata/sf0.01")  # match: no raise
+    with pytest.raises(RuntimeError, match="fixture/sf mismatch"):
+        entry._assert_fixture_sf("/root/testdata/sf0.1")
