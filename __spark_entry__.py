@@ -1098,15 +1098,21 @@ def q_corpus_build(spark, sf_dir):
         .run(docs, id_col="doc_id", text_col="text")
         .select("doc_id", "bucket", F.col("keep").alias("chain_keep"))
     )
-    words = q_gopher_rules(spark, sf_dir).select("doc_id", F.col("keep").alias("word_keep"))
-    reps = q_gopher_ngrams(spark, sf_dir).select("doc_id", "keep_rep")
+    # word + repetition gates FUSED into one scan/aggregation (the word
+    # verdict rides the ngram sentinel branch — quality_rules.gopher_gates),
+    # so the gate side is one frame and one join instead of two of each
+    gates = quality_rules.gopher_gates(docs, "doc_id", "text", min_words=40, top_ns=(2, 3), dup_ns=(5,))
     survivors = (
-        chain.join(words, "doc_id")
-        .join(reps, "doc_id")
+        chain.join(gates, "doc_id")
         .where(F.col("chain_keep") & F.col("word_keep") & F.col("keep_rep"))
         .select("doc_id", "bucket")
     )
-    kept = docs.join(survivors, "doc_id")
+    # minhash_lsh_dedup consumes `kept` on TWO plan branches (signature
+    # build + the left-anti survivor join), so without materialization the
+    # whole chain+gates subtree executes twice. localCheckpoint pins the
+    # gate survivors once — the production-scale equivalent is writing the
+    # survivor snapshot to the warehouse before the dedup stage.
+    kept = docs.join(survivors, "doc_id").localCheckpoint()
     dd = dedup.minhash_lsh_dedup(kept, "doc_id", "text", num_hashes=8, num_bands=4, shingle_n=3)
     out = sample.stratified_hash_sample(dd, "doc_id", "lang", {"en": 128}, default_256=256)
     return out.select("doc_id", "lang", "bucket")
@@ -1222,9 +1228,11 @@ def q_quality_chain(spark, sf_dir):
     chain = q_ccnet_chain(spark, sf_dir).select(
         "doc_id", "bucket", F.col("keep").alias("chain_keep")
     )
-    words = q_gopher_rules(spark, sf_dir).select("doc_id", F.col("keep").alias("word_keep"))
-    reps = q_gopher_ngrams(spark, sf_dir).select("doc_id", "keep_rep")
-    out = chain.join(words, "doc_id").join(reps, "doc_id")
+    # fused word+repetition gates: one scan + one join (see gopher_gates)
+    gates = quality_rules.gopher_gates(
+        _docs(spark, sf_dir), "doc_id", "text", min_words=40, top_ns=(2, 3), dup_ns=(5,)
+    )
+    out = chain.join(gates, "doc_id")
     return out.select(
         "doc_id",
         "bucket",

@@ -146,6 +146,114 @@ def gopher_ngram_stats(
     return out.withColumn("keep_rep", keep)
 
 
+def gopher_gates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher word gates AND n-gram repetition gates FUSED into one scan:
+    (doc_id, word_keep, keep_rep) with the same semantics as
+    gopher_word_rules(...).keep ∧-joined with gopher_ngram_stats(...).keep_rep,
+    but without the second scan of the table or the doc_id join between the
+    two families.
+
+    How: the word-rule verdict is a pure map-side expression over the same
+    tokens the n-gram branches explode, so it is computed once on the
+    (0, '') sentinel branch (which every doc emits exactly once) and
+    carried through both aggregations as max(_word_keep) — nulls on the
+    gram branches are ignored by max, the sentinel's single non-null value
+    survives. Shuffle count is identical to gopher_ngram_stats alone.
+    Composed pipelines (corpus_build, quality_chain) use this; the
+    standalone per-family operators remain the unit-oracled entries."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("_text"), _toks(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        "_text",
+        "_toks",
+        F.length(F.array_join(F.col("_toks"), " ")).alias("_total_chars"),
+    )
+    t, tk = F.col("_text"), F.col("_toks")
+    words = F.greatest(F.size(tk), F.lit(1))
+    sum_len = F.aggregate(tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipses = F.floor((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3)
+    alpha = F.size(F.filter(tk, lambda x: x.rlike("[a-z]")))
+    # EXACTLY gopher_word_rules' keep: the comparisons run on the same
+    # 4dp-rounded values so fused and standalone verdicts can never diverge
+    word_keep = (
+        F.size(tk).cast("long").between(min_words, max_words)
+        & F.round(sum_len / words, 4).between(min_mean_word_len, max_mean_word_len)
+        & (F.round((hashes + ellipses) / words, 4) < max_symbol_word_ratio)
+        & (F.round(alpha / words, 4) >= min_alpha_word_frac)
+    )
+    branches = [
+        base.select(
+            id_col,
+            "_total_chars",
+            F.lit(0).alias("_n"),
+            F.lit("").alias("_gram"),
+            word_keep.alias("_word_keep"),
+        )
+    ]
+    for n in ns:
+        branches.append(
+            base.select(
+                id_col,
+                "_total_chars",
+                F.lit(n).alias("_n"),
+                F.explode(word_shingles_expr(F.col("_toks"), n)).alias("_gram"),
+                F.lit(None).cast("boolean").alias("_word_keep"),
+            )
+        )
+    exploded = branches[0]
+    for b in branches[1:]:
+        exploded = exploded.union(b)
+    counts = (
+        exploded.groupBy(id_col, "_total_chars", "_n", "_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.max("_word_keep").alias("_word_keep"))
+        .withColumn("_chars", F.col("_cnt") * F.length("_gram"))
+    )
+    denom = F.greatest(F.first("_total_chars"), F.lit(1))
+    aggs = [F.max("_word_keep").alias("word_keep")]
+    for n in top_ns:
+        aggs.append(
+            F.round(
+                F.coalesce(F.max(F.when(F.col("_n") == n, F.col("_chars"))), F.lit(0)) / denom, 4
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(
+                        F.sum(F.when((F.col("_n") == n) & (F.col("_cnt") >= 2), F.col("_chars"))),
+                        F.lit(0).cast("long"),
+                    )
+                    / denom,
+                ),
+                4,
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    out = counts.groupBy(id_col).agg(*aggs)
+    keep = F.lit(True)
+    for n in top_ns:
+        keep = keep & (F.col(f"top_{n}gram_char_frac") <= TOP_NGRAM_MAX.get(n, 0.16))
+    for n in dup_ns:
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") <= DUP_NGRAM_MAX.get(n, 0.10))
+    return out.withColumn("keep_rep", keep).select(id_col, "word_keep", "keep_rep")
+
+
 def gopher_ngram_stats_sql(
     table: str,
     id_col: str = "doc_id",
