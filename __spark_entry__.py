@@ -1146,6 +1146,24 @@ def q_incremental_dedup(spark, sf_dir):
     return dedup.incremental_dedup(batch, corpus, "doc_id", "text").select("doc_id", "lang")
 
 
+def q_incremental_dedup_bloom(spark, sf_dir):
+    """Same ingestion-dedup semantics via the Bloom-prefilter path: corpus
+    hashes build a bit array in one narrow aggregation; batch rows missing
+    the bloom bypass the anti-join on the scan, only might-contain rows pay
+    it (false positives corrected by the exact join). Output is EXACTLY
+    incremental_dedup's, so the oracle twin is the same exact-dedup SQL —
+    the bloom machinery itself is what's under value-check here."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    corpus = docs.where(F.col("doc_id") < 250)
+    planted = corpus.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "lang", "text"
+    )
+    batch = docs.where(F.col("doc_id") >= 250).union(planted)
+    return dedup.incremental_dedup_bloom(batch, corpus, "doc_id", "text").select(
+        "doc_id", "lang"
+    )
+
+
 def q_table_diff(spark, sf_dir):
     """Snapshot diff — the ops tool behind incremental publishes: full outer
     join of two table versions on the key, rows classified added / removed /
@@ -1866,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- hygiene / sampling / packing ---
         "decontaminate": _wrap(q_decontaminate),
         "incremental_dedup": _wrap(q_incremental_dedup),
+        "incremental_dedup_bloom": _wrap(q_incremental_dedup_bloom),  # new in r4
         "stratified_sample": _wrap(q_stratified_sample),
         "pack_sequences": _wrap(q_pack_sequences),
         # --- text analytics ---
@@ -1901,7 +1920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the window as cross-round regression canaries ---
         "dedup_keep": _wrap(q_dedup_keep),
         "dedup_nokeep": _wrap(q_dedup_nokeep),
-        "exact_dedup": _wrap(q_exact_dedup),
         "pp_bucket": _wrap(q_pp_bucket),
         "rollup": _wrap(q_rollup),
         "minhash_pairs": _wrap(q_minhash_pairs),
@@ -1912,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _wrap(q_hash_sample),
         # ---------------- position > 50: driver-recorded green in r1-r3,
         # ---------------- still verified every run by tools/check_oracle.py
+        "exact_dedup": _wrap(q_exact_dedup),
         "min_len_filter": _wrap(q_min_len_filter),
         "explode_lines": _wrap(q_explode_lines),
         "normalize": _wrap(q_normalize),
@@ -1976,15 +1995,24 @@ def _simhash_fixture() -> str:
 
 def _assert_fixture_sf(sf_dir: str) -> None:
     """Raise if the sf_dir the harness passed to a fixture-oracled query
-    disagrees with the sf the oracle SQL's fixture was selected for."""
+    disagrees with the sf the oracle SQL's fixture was selected for.
+
+    Scoped to an EXPLICITLY-set SPARK_GRAFT_SF_DIR: the oracle harnesses
+    (tools/check_oracle.py, the driver gate) key both the query sf and the
+    fixture off that same env var, so a set-but-mismatched value means the
+    gate is about to compare against the wrong sf's fixture — fail loudly.
+    When the var is unset there is no oracle side to disagree with
+    (standalone runs, e.g. the determinism suite at sf0.001), so any
+    sf_dir is fine."""
+    env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env is None:
+        return
     got = os.path.basename(sf_dir.rstrip("/"))
-    expected = os.path.basename(
-        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01").rstrip("/")
-    )
+    expected = os.path.basename(env.rstrip("/"))
     if got != expected:
         raise RuntimeError(
             f"fixture/sf mismatch: query runs on {got} but the oracle SQL was "
-            f"built for {expected} (SPARK_GRAFT_SF_DIR default sf0.01) — set "
+            f"built for {expected} (SPARK_GRAFT_SF_DIR) — set "
             f"SPARK_GRAFT_SF_DIR={sf_dir} so both sides use the same fixture"
         )
 
@@ -2448,6 +2476,20 @@ def oracle_sql() -> dict[str, str]:
             + " select doc_id, lang from decontaminated"
         ),
         "incremental_dedup": (
+            "with corpus as (select doc_id, lang, text from documents where doc_id < 250), "
+            "batch as (select doc_id, lang, text from documents where doc_id >= 250 "
+            "union all select doc_id + 300000 as doc_id, lang, text from documents "
+            "where doc_id < 20), "
+            f"bh as (select doc_id, lang, {hashing.line_hash_sql(norm)} as hv from batch), "
+            f"ch as (select distinct {hashing.line_hash_sql(norm)} as hv from corpus), "
+            "fresh as (select doc_id, lang, hv from bh "
+            "where not exists (select 1 from ch where ch.hv = bh.hv)) "
+            "select doc_id, lang from fresh "
+            "qualify row_number() over (partition by hv order by doc_id) = 1"
+        ),
+        # identical twin on purpose: the bloom path must produce EXACTLY the
+        # exact operator's output (prefilter, not approximation)
+        "incremental_dedup_bloom": (
             "with corpus as (select doc_id, lang, text from documents where doc_id < 250), "
             "batch as (select doc_id, lang, text from documents where doc_id >= 250 "
             "union all select doc_id + 300000 as doc_id, lang, text from documents "

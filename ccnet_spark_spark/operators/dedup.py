@@ -455,6 +455,95 @@ def decontaminate_sql(
     )
 
 
+def build_bloom_words(hashes: DataFrame, hv_col: str, m_bits: int = 1 << 17, k: int = 5) -> list[int]:
+    """Distributed Bloom-filter build as ONE narrow Spark aggregation, no
+    Python in the plan: each hash explodes into its k bit positions
+    (xxhash64(seed, hv) pmod m), positions group into 64-bit words via
+    bit_or — map-side partial ORs make the shuffle at most m/64 rows per
+    task — and the driver collects just the m/64-long word list (m=2^17 ->
+    2048 longs = 16 KiB).
+
+    Sizing is the caller's contract: fpp ≈ (1 - e^(-k·n/m))^k; the default
+    (m=2^17, k=5) gives ~0.9 % at n=10k. At 10^12-row scale a single
+    driver-resident array is sized in GBs — the same build works (m_bits
+    scales, the aggregation shape is unchanged) but the probe side should
+    ship the words via a broadcast join or Spark's own runtime bloom
+    pruning rather than a plan literal; documented at the probe."""
+    pos = F.explode(
+        F.array(*[F.pmod(F.xxhash64(F.lit(i), F.col(hv_col)), F.lit(m_bits)) for i in range(k)])
+    ).alias("_pos")
+    words = (
+        hashes.select(pos)
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("_w"),
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+    )
+    got = {r["_w"]: r["_bits"] for r in words.collect()}
+    return [got.get(w, 0) for w in range(m_bits // 64)]
+
+
+def bloom_might_contain(df: DataFrame, hv_col: str, words: list[int], k: int = 5) -> DataFrame:
+    """Adds boolean `_bloom_hit`: False = DEFINITELY absent from the set the
+    words were built over; True = maybe present (fpp false positives).
+    Pure scan-side expressions — the word array rides the plan as a literal
+    (fine for dev/bench-scale filters; a 10^12-scale bloom is broadcast
+    instead) and each of the k probes is element_at + shift + mask, so
+    codegen keeps the whole probe inside the scan stage."""
+    m_bits = len(words) * 64
+    arr = F.lit(words)
+    out = df
+    cond = F.lit(True)
+    for i in range(k):
+        out = out.withColumn(
+            f"_bp{i}", F.pmod(F.xxhash64(F.lit(i), F.col(hv_col)), F.lit(m_bits))
+        ).withColumn(f"_bw{i}", F.element_at(arr, (F.col(f"_bp{i}") / 64).cast("int") + 1))
+        # arithmetic >> is safe: & 1 masks away the sign-fill bits
+        cond = cond & (F.expr(f"(_bw{i} >> cast(_bp{i} % 64 as int)) & 1") == 1)
+    out = out.withColumn("_bloom_hit", cond)
+    return out.drop(*[c for i in range(k) for c in (f"_bp{i}", f"_bw{i}")])
+
+
+def incremental_dedup_bloom(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_algo: str = "sha2",
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom-prefiltered cross-snapshot dedup — EXACTLY the output of
+    incremental_dedup (the bloom is an accelerator, not an approximation),
+    which is what makes it oracle-checkable against the same exact twin.
+
+    At 10^12 scale the anti-join against the committed corpus shuffles the
+    whole new batch even though typically <1 % of it collides. Here a Bloom
+    filter built over the corpus hash projection (one narrow aggregation,
+    build_bloom_words) splits the batch on the scan: rows whose hash misses
+    the bloom are definitely new and BYPASS the join entirely; only the
+    might-contain sliver (true dups + ~fpp false positives) pays the exact
+    anti-join, which also corrects every false positive. Both paths union
+    and keep-min dedup within the batch, identical to the exact operator.
+    This is the standard bloom-prefilter ingestion shape (Iceberg/Delta
+    MERGE implementations do the same with file-level bloom/minmax)."""
+    def hashed(df: DataFrame) -> Column:
+        return hashing.line_hash_expr(normalize_for_dedup_expr(F.col(text_col)), algo=hash_algo)
+
+    batch_h = batch.withColumn("_hv", hashed(batch))
+    corpus_h = corpus.select(hashed(corpus).alias("_hv"))
+    words = build_bloom_words(corpus_h, "_hv", m_bits=m_bits, k=k)
+    probed = bloom_might_contain(batch_h, "_hv", words, k=k)
+    definitely_new = probed.where(~F.col("_bloom_hit")).drop("_bloom_hit")
+    maybe = probed.where(F.col("_bloom_hit")).drop("_bloom_hit")
+    checked = maybe.join(corpus_h, "_hv", "left_anti")
+    fresh = definitely_new.unionByName(checked)
+    keep_min = fresh.groupBy("_hv").agg(F.min(F.col(id_col)).alias(id_col)).select(id_col)
+    return batch.join(keep_min, id_col, "left_semi")
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,

@@ -49,22 +49,20 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # carry the pre-update label through the checkpoint so the
+        # convergence probe is a scan of the checkpointed frame, not a
+        # second node-keyed join per round
         new = (
             labels.join(neigh, labels.node == neigh.u, "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                F.col("lbl").alias("_prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("lbl") != F.col("_prev")).limit(1).count()
+        labels = new.select("node", "lbl")
         if changed == 0:
             break
     if changed != 0:

@@ -93,6 +93,45 @@ def test_minhash_candidates_sentinel_fallback(spark):
     assert pairs == [("a", "b")]  # the sentinel row never bands
 
 
+def test_bloom_dedup_matches_exact(spark):
+    """incremental_dedup_bloom is a prefilter, not an approximation: its
+    survivor set must EQUAL incremental_dedup's on a corpus/batch with
+    planted cross-snapshot and within-batch duplicates."""
+    # letter-distinct texts: ccnet normalization maps every digit to zero,
+    # so numeric suffixes would collapse into one hash
+    def word(i):
+        return "".join(chr(ord("a") + int(d)) for d in str(i))
+
+    corpus = spark.createDataFrame(
+        [(i, f"committed doc {word(i)} body") for i in range(60)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        # 20 re-ingestions of committed docs + 30 fresh + 2 within-batch dups
+        [(1000 + i, f"committed doc {word(i)} body") for i in range(20)]
+        + [(2000 + i, f"fresh doc {word(i)}") for i in range(30)]
+        + [(3000, f"fresh doc {word(0)}"), (3001, f"fresh doc {word(1)}")],
+        ["doc_id", "text"],
+    )
+    exact = sorted(
+        r["doc_id"] for r in dedup.incremental_dedup(batch, corpus, "doc_id", "text").collect()
+    )
+    bloom = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup_bloom(batch, corpus, "doc_id", "text").collect()
+    )
+    assert bloom == exact
+    assert len(bloom) == 30  # the 20 re-ingestions and 2 batch dups are gone
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every member of the build set must hit the bloom (false positives are
+    allowed and corrected downstream; a false negative would lose a dup)."""
+    hashes = spark.createDataFrame([(f"h{i}",) for i in range(500)], ["hv"])
+    words = dedup.build_bloom_words(hashes, "hv", m_bits=1 << 14, k=5)
+    probed = dedup.bloom_might_contain(hashes, "hv", words, k=5)
+    assert probed.where(~F.col("_bloom_hit")).count() == 0
+
+
 def test_gopher_gates_fused_matches_standalone(spark):
     """The fused one-scan gates must agree row-for-row with the standalone
     word-rule and ngram-stat operators they replace in composed pipelines."""
@@ -128,3 +167,6 @@ def test_fixture_sf_mismatch_raises(monkeypatch):
     entry._assert_fixture_sf("/root/testdata/sf0.01")  # match: no raise
     with pytest.raises(RuntimeError, match="fixture/sf mismatch"):
         entry._assert_fixture_sf("/root/testdata/sf0.1")
+    # unset env = no oracle side to disagree with (standalone runs): no raise
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR")
+    entry._assert_fixture_sf("/root/testdata/sf0.001")
