@@ -42,6 +42,7 @@ from ccnet_spark_spark.operators import bucket as bucket_op
 from ccnet_spark_spark.operators import chunk as chunk_op
 from ccnet_spark_spark.operators import (
     dedup,
+    passages,
     perplexity,
     quality_rules,
     sample,
@@ -1164,6 +1165,45 @@ def q_incremental_dedup_bloom(spark, sf_dir):
     )
 
 
+def _passage_corpus(spark, sf_dir):
+    """documents + planted franken-docs (doc_id+400000 for doc_id < 10):
+    the first 12 whitespace tokens of the source doc, a unique filler
+    token, then the same 12 tokens again — so every franken-doc shares an
+    8-gram passage with its source doc (cross-doc) AND with its own second
+    half (within-doc), exercising both duplication directions."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    head12 = F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 12), " ")
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(head12, F.lit(" zzuniquefiller "), head12).alias("text"),
+    )
+    return docs.union(planted)
+
+
+def q_dup_passages(spark, sf_dir):
+    """Duplicate-PASSAGE spans (Lee et al. 2022 ExactSubstr at n-gram
+    anchor granularity): maximal merged token intervals covered by 8-grams
+    occurring at >= 2 corpus positions. Input plants cross-doc and
+    within-doc shared passages (_passage_corpus); the documents table's own
+    planted duplicate lines fire naturally too. DuckDB twin recomputes the
+    full explode -> global count -> join-back -> gaps-and-islands chain."""
+    from ccnet_spark_spark.operators import passages
+
+    return passages.duplicate_passage_spans(
+        _passage_corpus(spark, sf_dir), "doc_id", "text", gram_n=8
+    )
+
+
+def q_dup_passage_stats(spark, sf_dir):
+    """Per-document duplicated-token rollup of the passage spans + the
+    RefinedWeb-style mostly-boilerplate drop flag (dup_frac > 0.5)."""
+    from ccnet_spark_spark.operators import passages
+
+    return passages.dup_passage_stats(
+        _passage_corpus(spark, sf_dir), "doc_id", "text", gram_n=8, max_dup_frac=0.5
+    )
+
+
 def q_table_diff(spark, sf_dir):
     """Snapshot diff — the ops tool behind incremental publishes: full outer
     join of two table versions on the key, rows classified added / removed /
@@ -1885,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _wrap(q_decontaminate),
         "incremental_dedup": _wrap(q_incremental_dedup),
         "incremental_dedup_bloom": _wrap(q_incremental_dedup_bloom),  # new in r4
+        "dup_passages": _wrap(q_dup_passages),  # new in r4
+        "dup_passage_stats": _wrap(q_dup_passage_stats),  # new in r4
         "stratified_sample": _wrap(q_stratified_sample),
         "pack_sequences": _wrap(q_pack_sequences),
         # --- text analytics ---
@@ -1921,16 +1963,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": _wrap(q_dedup_keep),
         "dedup_nokeep": _wrap(q_dedup_nokeep),
         "pp_bucket": _wrap(q_pp_bucket),
-        "rollup": _wrap(q_rollup),
         "minhash_pairs": _wrap(q_minhash_pairs),
         "lsh_then_jaccard": _wrap(q_lsh_then_jaccard),
         "dup_clusters": _wrap(q_dup_clusters),
         "events_window_stream": _wrap(q_events_window_stream),
         "asof_join": _wrap(q_asof_join),
-        "hash_sample": _wrap(q_hash_sample),
         # ---------------- position > 50: driver-recorded green in r1-r3,
         # ---------------- still verified every run by tools/check_oracle.py
         "exact_dedup": _wrap(q_exact_dedup),
+        "rollup": _wrap(q_rollup),
+        "hash_sample": _wrap(q_hash_sample),
         "min_len_filter": _wrap(q_min_len_filter),
         "explode_lines": _wrap(q_explode_lines),
         "normalize": _wrap(q_normalize),
@@ -1971,6 +2013,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": _wrap(q_star_join),
         "pricing_summary": _wrap(q_pricing_summary),
     }
+
+
+# DuckDB mirror of _passage_corpus (same 12-token stitch, same filler)
+_PASSAGE_CORPUS_SQL = (
+    "pcorpus as (select doc_id, text from documents union all "
+    "select doc_id + 400000 as doc_id, "
+    "array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 1, 12), ' ') "
+    "|| ' zzuniquefiller ' || "
+    "array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 1, 12), ' ') as text "
+    "from documents where doc_id < 10)"
+)
 
 
 def _fixture(name: str) -> str:
@@ -2486,6 +2539,23 @@ def oracle_sql() -> dict[str, str]:
             "where not exists (select 1 from ch where ch.hv = bh.hv)) "
             "select doc_id, lang from fresh "
             "qualify row_number() over (partition by hv order by doc_id) = 1"
+        ),
+        "dup_passages": (
+            f"with {_PASSAGE_CORPUS_SQL}, "
+            + passages.duplicate_passage_spans_sql("pcorpus", "doc_id", "text", gram_n=8)
+            + " select doc_id, start_tok, end_tok, dup_tokens from spans"
+        ),
+        "dup_passage_stats": (
+            f"with {_PASSAGE_CORPUS_SQL}, "
+            + passages.duplicate_passage_spans_sql("pcorpus", "doc_id", "text", gram_n=8)
+            + ", per_doc as (select doc_id, cast(sum(dup_tokens) as bigint) as dup_tokens "
+            "from spans group by doc_id), "
+            "b as (select doc_id, cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) as int) "
+            "as n_tokens from pcorpus) "
+            "select b.doc_id, b.n_tokens, cast(coalesce(p.dup_tokens, 0) as bigint) as dup_tokens, "
+            "round(coalesce(p.dup_tokens, 0) / greatest(b.n_tokens, 1), 4) as dup_frac, "
+            "dup_frac <= 0.5 as keep_passage "
+            "from b left join per_doc p using (doc_id)"
         ),
         # identical twin on purpose: the bloom path must produce EXACTLY the
         # exact operator's output (prefilter, not approximation)

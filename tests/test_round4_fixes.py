@@ -132,6 +132,43 @@ def test_bloom_has_no_false_negatives(spark):
     assert probed.where(~F.col("_bloom_hit")).count() == 0
 
 
+def test_duplicate_passage_spans_hand_computed(spark):
+    """Known geometry: doc a and doc b share tokens 0..9 (a's opening); with
+    n=4 the shared 4-grams anchor positions 0..6 in both docs, merging to
+    span [0, 9]. Doc c is unique and too short to collide; doc d repeats
+    its own opening at positions 8.. (within-doc duplication)."""
+    from ccnet_spark_spark.operators import passages
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            ("a", shared + " unique tail for doc one here"),
+            ("b", shared + " totally different ending words go here"),
+            ("c", "nothing here repeats at all"),
+            ("d", "one two three four five six qq rr one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["dup_tokens"])
+        for r in passages.duplicate_passage_spans(docs, gram_n=4).collect()
+    }
+    assert ("a", 0, 9, 10) in spans and ("b", 0, 9, 10) in spans
+    assert not any(s[0] == "c" for s in spans)
+    # d: "one two three four five six" at positions 0-5 and 8-13; 4-gram
+    # anchors at 0,1,2 and 8,9,10 -> two spans [0,5] and [8,13]
+    assert ("d", 0, 5, 6) in spans and ("d", 8, 13, 6) in spans
+    assert len([s for s in spans if s[0] == "d"]) == 2
+
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["keep_passage"])
+        for r in passages.dup_passage_stats(docs, gram_n=4, max_dup_frac=0.5).collect()
+    }
+    assert stats["c"] == (5, 0, True)
+    assert stats["d"] == (14, 12, False)  # 12/14 duplicated -> drop
+    assert stats["a"][1] == 10
+
+
 def test_gopher_gates_fused_matches_standalone(spark):
     """The fused one-scan gates must agree row-for-row with the standalone
     word-rule and ngram-stat operators they replace in composed pipelines."""
