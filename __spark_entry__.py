@@ -1711,6 +1711,47 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(sink).select("hash_value")
 
 
+def q_streaming_dedup_native(spark, sf_dir):
+    """The same cross-batch dedup via Spark's BUILT-IN
+    dropDuplicatesWithinWatermark (event-time watermark state eviction)
+    instead of the custom applyInPandasWithState operator — the two
+    standard designs cross-validated against the identical oracle: the
+    emitted hash set must equal the distinct normalized-text hashes of
+    docs + the 40 duplicates arriving in a LATER micro-batch
+    (maxFilesPerTrigger=1), so the keyed state must span batches."""
+    from ccnet_spark_spark.streaming.dedup import streaming_native_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("image_id"), F.col("text").alias("caption")
+    )
+    src, sink, ckpt = _stream_dirs("streaming_dedup_native")
+    docs.write.mode("append").parquet(src)
+    before = set(os.listdir(src))
+    dups = _docs(spark, sf_dir).where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    dups.coalesce(1).write.mode("append").parquet(src)
+    _bump_mtime_of_new_files(src, before)
+    stream = (
+        spark.readStream.schema("image_id string, caption string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_native_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink).select("hash_value")
+
+
 def q_foreach_batch_sink(spark, sf_dir):
     """The idempotent foreachBatch sink (streaming/sink.py) driven
     end-to-end: the events table streams through availableNow micro-batches
@@ -1902,7 +1943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 39 queries added in round 3 (the image+caption
     # flagship pairs_pipeline, corpus_build, the quality-rule family, the
     # fixture-oracled multimodal ops, streaming/ANN) that had no driver row
-    # yet, plus 11 already-recorded sentinels (dedup_keep ... hash_sample)
+    # yet, the 4 queries new in round 4 (incremental_dedup_bloom,
+    # dup_passages, dup_passage_stats, streaming_dedup_native), plus 7
+    # already-recorded sentinels (dedup_keep, dedup_nokeep, pp_bucket,
+    # minhash_pairs, lsh_then_jaccard, dup_clusters, events_window_stream)
     # kept inside the window as cross-round regression canaries. Queries
     # past position 50 remain fully covered by tools/check_oracle.py (the
     # same harness, run locally and in CI-style pytest).
@@ -1955,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _wrap(q_ivf_ann),
         # --- streaming (real streaming execution) ---
         "streaming_dedup": _wrap(q_streaming_dedup),
+        "streaming_dedup_native": _wrap(q_streaming_dedup_native),  # new in r4
         "streaming_dedup_ttl": _wrap(q_streaming_dedup_ttl),
         "stream_stream_join": _wrap(q_stream_stream_join),
         "foreach_batch_sink": _wrap(q_foreach_batch_sink),
@@ -2343,6 +2388,13 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": (
             # arrival-order-invariant projection: the emitted hash set must
             # equal the distinct normalized-text hashes of docs + planted dups
+            "select distinct " + hashing.line_hash_sql(normalize_for_dedup_sql("text"))
+            + " as hash_value from (select text from documents "
+            "union all select text from documents where doc_id < 40)"
+        ),
+        # identical twin on purpose: the native dropDuplicatesWithinWatermark
+        # route must emit the same hash set as the custom stateful operator
+        "streaming_dedup_native": (
             "select distinct " + hashing.line_hash_sql(normalize_for_dedup_sql("text"))
             + " as hash_value from (select text from documents "
             "union all select text from documents where doc_id < 40)"

@@ -82,3 +82,41 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def streaming_native_dedup(
+    stream: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    event_time_col: str | None = None,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """The BUILT-IN route to the same semantics: Spark 3.5+'s
+    dropDuplicatesWithinWatermark keyed on the normalized caption hash —
+    state eviction driven by the EVENT-time watermark instead of our
+    custom operator's processing-time TTL (the two columns of the standard
+    streaming-dedup design space; cross-validated against each other by
+    the contract queries sharing one oracle).
+
+    Rows deduplicate across micro-batches as long as their event times fall
+    within `delay` of the watermark; with event_time_col=None a constant
+    event time is stamped, the watermark never advances past it, and state
+    never evicts — exact forever-dedup, the native twin of
+    streaming_exact_dedup(ttl_ms=None). At 10^12 scale you pass the real
+    ingest timestamp instead, and `delay` IS the bounded-state knob."""
+    ts = (
+        F.col(event_time_col)
+        if event_time_col
+        else F.lit("2026-01-01 00:00:00").cast("timestamp")
+    )
+    hashed = stream.select(
+        F.col(id_col).alias("image_id"),
+        F.col(text_col).alias("caption"),
+        line_hash_expr(normalize_for_dedup_expr(F.col(text_col))).alias("hash_value"),
+        ts.alias("_event_ts"),
+    )
+    return (
+        hashed.withWatermark("_event_ts", delay)
+        .dropDuplicatesWithinWatermark(["hash_value"])
+        .drop("_event_ts")
+    )
