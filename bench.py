@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "decontaminate",
     "incremental_dedup",
+    "incremental_dedup_bloom",
+    "dup_passages",
     "selfcal_bucket",
     "quality_chain",
     "corpus_build",
