@@ -1752,6 +1752,42 @@ def q_streaming_dedup_native(spark, sf_dir):
     return spark.read.parquet(sink).select("hash_value")
 
 
+def q_stream_static_join(spark, sf_dir):
+    """Stream-STATIC enrichment join — the remaining Structured Streaming
+    join class beside stream-stream (windowed aggs, arbitrary state, and
+    stream-stream joins are already covered): each streaming event row is
+    enriched with its customer dimension via a broadcast of the static
+    side. Stateless — no watermark needed, the static table is re-read (or
+    cached) per micro-batch; at 10^12-event scale the dimension broadcast
+    is exactly the cutoff-table pattern the batch pipeline uses. Oracle =
+    the plain batch join (the streamed row set must be identical)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    src, sink, ckpt = _stream_dirs("stream_static_join")
+    ev.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink).select("event_id", "user_id", "event_type", "c_nationkey")
+
+
 def q_foreach_batch_sink(spark, sf_dir):
     """The idempotent foreachBatch sink (streaming/sink.py) driven
     end-to-end: the events table streams through availableNow micro-batches
@@ -1943,11 +1979,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 39 queries added in round 3 (the image+caption
     # flagship pairs_pipeline, corpus_build, the quality-rule family, the
     # fixture-oracled multimodal ops, streaming/ANN) that had no driver row
-    # yet, the 4 queries new in round 4 (incremental_dedup_bloom,
-    # dup_passages, dup_passage_stats, streaming_dedup_native), plus 7
-    # already-recorded sentinels (dedup_keep, dedup_nokeep, pp_bucket,
-    # minhash_pairs, lsh_then_jaccard, dup_clusters, events_window_stream)
-    # kept inside the window as cross-round regression canaries. Queries
+    # yet, the 5 queries new in round 4 (incremental_dedup_bloom,
+    # dup_passages, dup_passage_stats, streaming_dedup_native,
+    # stream_static_join), plus 6 already-recorded sentinels (dedup_keep,
+    # dedup_nokeep, pp_bucket, minhash_pairs, lsh_then_jaccard,
+    # dup_clusters) kept as cross-round regression canaries. Queries
     # past position 50 remain fully covered by tools/check_oracle.py (the
     # same harness, run locally and in CI-style pytest).
     return {
@@ -2002,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_native": _wrap(q_streaming_dedup_native),  # new in r4
         "streaming_dedup_ttl": _wrap(q_streaming_dedup_ttl),
         "stream_stream_join": _wrap(q_stream_stream_join),
+        "stream_static_join": _wrap(q_stream_static_join),  # new in r4
         "foreach_batch_sink": _wrap(q_foreach_batch_sink),
         # --- sentinels: already driver-recorded green in r1-r3, kept in
         # --- the window as cross-round regression canaries ---
@@ -2781,6 +2818,11 @@ def oracle_sql() -> dict[str, str]:
             ") where hamming <= 8"
         ),
         "foreach_batch_sink": "select event_id, user_id, event_type from events",
+        # the streamed enrichment must equal the plain batch join row-for-row
+        "stream_static_join": (
+            "select e.event_id, e.user_id, e.event_type, c.c_nationkey "
+            "from events e join customer c on e.user_id = c.c_custkey"
+        ),
         "stream_stream_join": (
             "select p.event_id as p_event_id, p.user_id, p.ts as p_ts, c.ts as c_ts, "
             "round(p.value, 2) as purchase_value, round(c.value, 2) as click_value "
