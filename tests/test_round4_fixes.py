@@ -169,6 +169,34 @@ def test_duplicate_passage_spans_hand_computed(spark):
     assert stats["a"][1] == 10
 
 
+def test_bloom_dedup_empty_corpus(spark):
+    """First-ever ingestion: empty committed corpus -> all-zero bloom ->
+    every batch row is definitely-new; within-batch keep-min still applies."""
+    corpus = spark.createDataFrame([], "doc_id bigint, text string")
+    batch = spark.createDataFrame(
+        [(1, "some fresh text"), (2, "other fresh text"), (3, "some fresh text")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup_bloom(batch, corpus, "doc_id", "text").collect()
+    )
+    assert out == [1, 2]
+
+
+def test_passages_empty_and_short_inputs(spark):
+    from ccnet_spark_spark.operators import passages
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    assert passages.duplicate_passage_spans(empty, gram_n=8).count() == 0
+    assert passages.dup_passage_stats(empty, gram_n=8).count() == 0
+    # docs shorter than the anchor n can never produce spans, only zeros
+    short = spark.createDataFrame([("a", "too short"), ("b", "too short")], ["doc_id", "text"])
+    assert passages.duplicate_passage_spans(short, gram_n=8).count() == 0
+    stats = {r["doc_id"]: r["dup_tokens"] for r in passages.dup_passage_stats(short, gram_n=8).collect()}
+    assert stats == {"a": 0, "b": 0}
+
+
 def test_gopher_gates_fused_matches_standalone(spark):
     """The fused one-scan gates must agree row-for-row with the standalone
     word-rule and ngram-stat operators they replace in composed pipelines."""
