@@ -1204,6 +1204,17 @@ def q_dup_passage_stats(spark, sf_dir):
     )
 
 
+def q_dup_passage_trim(spark, sf_dir):
+    """The passage TRIMMER end-to-end: duplicated spans cut out of the
+    original-casing text, remainder stitched in order; fully-duplicated
+    docs come back empty rather than dropped. DuckDB twin expands spans to
+    covered positions and anti-joins the token explode — the identical
+    relational shape, so trimmed text matches byte-for-byte."""
+    return passages.trim_duplicate_passages(
+        _passage_corpus(spark, sf_dir), "doc_id", "text", gram_n=8
+    )
+
+
 def q_table_diff(spark, sf_dir):
     """Snapshot diff — the ops tool behind incremental publishes: full outer
     join of two table versions on the key, rows classified added / removed /
@@ -1979,11 +1990,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 39 queries added in round 3 (the image+caption
     # flagship pairs_pipeline, corpus_build, the quality-rule family, the
     # fixture-oracled multimodal ops, streaming/ANN) that had no driver row
-    # yet, the 5 queries new in round 4 (incremental_dedup_bloom,
-    # dup_passages, dup_passage_stats, streaming_dedup_native,
-    # stream_static_join), plus 6 already-recorded sentinels (dedup_keep,
-    # dedup_nokeep, pp_bucket, minhash_pairs, lsh_then_jaccard,
-    # dup_clusters) kept as cross-round regression canaries. Queries
+    # yet, the 6 queries new in round 4 (incremental_dedup_bloom,
+    # dup_passages, dup_passage_stats, dup_passage_trim,
+    # streaming_dedup_native, stream_static_join), plus 5 already-recorded
+    # sentinels (dedup_keep, dedup_nokeep, pp_bucket, minhash_pairs,
+    # lsh_then_jaccard) kept as cross-round regression canaries. Queries
     # past position 50 remain fully covered by tools/check_oracle.py (the
     # same harness, run locally and in CI-style pytest).
     return {
@@ -2007,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_bloom": _wrap(q_incremental_dedup_bloom),  # new in r4
         "dup_passages": _wrap(q_dup_passages),  # new in r4
         "dup_passage_stats": _wrap(q_dup_passage_stats),  # new in r4
+        "dup_passage_trim": _wrap(q_dup_passage_trim),  # new in r4
         "stratified_sample": _wrap(q_stratified_sample),
         "pack_sequences": _wrap(q_pack_sequences),
         # --- text analytics ---
@@ -2633,6 +2645,23 @@ def oracle_sql() -> dict[str, str]:
             f"with {_PASSAGE_CORPUS_SQL}, "
             + passages.duplicate_passage_spans_sql("pcorpus", "doc_id", "text", gram_n=8)
             + " select doc_id, start_tok, end_tok, dup_tokens from spans"
+        ),
+        "dup_passage_trim": (
+            f"with {_PASSAGE_CORPUS_SQL}, "
+            + passages.duplicate_passage_spans_sql("pcorpus", "doc_id", "text", gram_n=8)
+            + ", covered as (select doc_id, unnest(range(start_tok, end_tok + 1)) as pos "
+            "from spans), "
+            "toksrc as (select doc_id, generate_subscripts(t, 1) - 1 as pos, unnest(t) as tok "
+            "from (select doc_id, regexp_split_to_array(trim(text), '\\s+') as t from pcorpus)), "
+            "kept as (select k.doc_id, k.pos, k.tok from toksrc k where not exists "
+            "(select 1 from covered c where c.doc_id = k.doc_id and c.pos = k.pos)), "
+            "agg as (select doc_id, string_agg(tok, ' ' order by pos) as trimmed_text, "
+            "cast(count(*) as bigint) as kept_tokens from kept group by doc_id), "
+            "b as (select doc_id, len(regexp_split_to_array(trim(text), '\\s+')) as n from pcorpus) "
+            "select b.doc_id, coalesce(a.trimmed_text, '') as trimmed_text, "
+            "cast(coalesce(a.kept_tokens, 0) as bigint) as kept_tokens, "
+            "cast(b.n - coalesce(a.kept_tokens, 0) as bigint) as removed_tokens "
+            "from b left join agg a using (doc_id)"
         ),
         "dup_passage_stats": (
             f"with {_PASSAGE_CORPUS_SQL}, "

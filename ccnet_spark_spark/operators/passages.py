@@ -108,6 +108,55 @@ def dup_passage_stats(
     )
 
 
+def trim_duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The trimming step the spans exist for: remove every token covered by
+    a duplicated passage and stitch the remainder back together in order —
+    (id, trimmed_text, kept_tokens, removed_tokens), one row per input doc
+    (fully-duplicated docs come back with empty text, not dropped: the
+    caller's length filter decides their fate, same division of labor as
+    the line-dedup + min_len chain).
+
+    Spans are computed on lowercased tokens but trimming keeps the ORIGINAL
+    casing — whitespace token boundaries are identical, so positions line
+    up. Shape: explode spans to covered positions (spans per doc are few
+    and merged, so this is ~|duplicated tokens| rows), left-anti join the
+    (id, pos, token) explode against them, regroup with
+    sort_array(collect_list(struct)) — the regroup operator's pattern."""
+    spans = duplicate_passage_spans(df, id_col, text_col, gram_n, min_occurrences)
+    covered = spans.select(
+        id_col, F.explode(F.sequence(F.col("start_tok"), F.col("end_tok"))).alias("_pos")
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_tok")
+    )
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_tok"))), lambda s: s["_tok"]
+            ),
+            " ",
+        ).alias("trimmed_text"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_n")
+    )
+    kept_n = F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long")
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
+        kept_n.alias("kept_tokens"),
+        (F.col("_n") - kept_n).cast("long").alias("removed_tokens"),
+    )
+
+
 def _shingles_sql(toks: str, n: int) -> str:
     gram = " || ' ' || ".join(f"list_extract({toks}, i + {j + 1})" for j in range(n))
     return (

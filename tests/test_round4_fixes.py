@@ -168,6 +168,14 @@ def test_duplicate_passage_spans_hand_computed(spark):
     assert stats["d"] == (14, 12, False)  # 12/14 duplicated -> drop
     assert stats["a"][1] == 10
 
+    trimmed = {
+        r["doc_id"]: (r["trimmed_text"], r["kept_tokens"], r["removed_tokens"])
+        for r in passages.trim_duplicate_passages(docs, gram_n=4).collect()
+    }
+    assert trimmed["d"] == ("qq rr", 2, 12)
+    assert trimmed["a"] == ("unique tail for doc one here", 6, 10)
+    assert trimmed["c"] == ("nothing here repeats at all", 5, 0)
+
 
 def test_bloom_dedup_empty_corpus(spark):
     """First-ever ingestion: empty committed corpus -> all-zero bloom ->
