@@ -1215,6 +1215,63 @@ def q_dup_passage_trim(spark, sf_dir):
     )
 
 
+def q_token_drift(spark, sf_dir):
+    """Snapshot-drift monitoring, the distribution-level complement of
+    table_diff's row-level classification: the top-20 tokens by
+    total-variation contribution |p_old - p_new| between the unigram
+    distributions of two corpus versions (same synthetic 'new' version as
+    table_diff: every 7th doc edited, every 13th deleted, 5 appended). A
+    training pipeline alerts on this between ingests. Total-variation
+    rather than KL on purpose: pure rational arithmetic (no ln), so the
+    DuckDB twin reproduces every value bit-for-bit instead of hoping two
+    libm implementations round alike. Shape: two explode+groupBy unigram
+    counts, a 1-row total broadcast onto each, full-outer join on token —
+    vocab-sized frames only; the corpus shuffles token counts, never text."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .union(
+            docs.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 900000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    def dist(frame, pcol):
+        counts = (
+            frame.select(
+                F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        total = counts.groupBy().agg(F.sum("_c").alias("_n"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "token", (F.col("_c") / F.col("_n")).alias(pcol)
+        )
+
+    p = dist(docs, "_p")
+    q = dist(new, "_q")
+    joined = p.join(q, "token", "full_outer").select(
+        "token",
+        F.coalesce(F.col("_p"), F.lit(0.0)).alias("_p"),
+        F.coalesce(F.col("_q"), F.lit(0.0)).alias("_q"),
+    )
+    out = joined.select(
+        "token",
+        F.round("_p", 8).alias("p_old"),
+        F.round("_q", 8).alias("p_new"),
+        F.round(F.abs(F.col("_p") - F.col("_q")), 8).alias("drift"),
+    )
+    return out.orderBy(F.col("drift").desc(), F.col("token").asc()).limit(20)
+
+
 def q_table_diff(spark, sf_dir):
     """Snapshot diff — the ops tool behind incremental publishes: full outer
     join of two table versions on the key, rows classified added / removed /
@@ -1990,11 +2047,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 39 queries added in round 3 (the image+caption
     # flagship pairs_pipeline, corpus_build, the quality-rule family, the
     # fixture-oracled multimodal ops, streaming/ANN) that had no driver row
-    # yet, the 6 queries new in round 4 (incremental_dedup_bloom,
-    # dup_passages, dup_passage_stats, dup_passage_trim,
-    # streaming_dedup_native, stream_static_join), plus 5 already-recorded
-    # sentinels (dedup_keep, dedup_nokeep, pp_bucket, minhash_pairs,
-    # lsh_then_jaccard) kept as cross-round regression canaries. Queries
+    # yet, the 7 queries new in round 4 (incremental_dedup_bloom,
+    # dup_passages, dup_passage_stats, dup_passage_trim, token_drift,
+    # streaming_dedup_native, stream_static_join), plus 4 already-recorded
+    # sentinels (dedup_keep, dedup_nokeep, pp_bucket, minhash_pairs) kept
+    # as cross-round regression canaries. Queries
     # past position 50 remain fully covered by tools/check_oracle.py (the
     # same harness, run locally and in CI-style pytest).
     return {
@@ -2027,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _wrap(q_inverted_index),
         # --- ops / sources ---
         "table_diff": _wrap(q_table_diff),
+        "token_drift": _wrap(q_token_drift),  # new in r4
         "merge_upsert": _wrap(q_merge_upsert),
         "json_source": _wrap(q_json_source),
         "csv_source": _wrap(q_csv_source),
@@ -2698,6 +2756,25 @@ def oracle_sql() -> dict[str, str]:
             "select t.* from target t where not exists "
             "(select 1 from source s where s.doc_id = t.doc_id) "
             "union all select * from source)"
+        ),
+        "token_drift": (
+            "with olddocs as (select doc_id, text from documents), "
+            "newdocs as (select doc_id, case when doc_id % 7 = 0 then text || ' edited' "
+            "else text end as text from olddocs where doc_id % 13 <> 0 "
+            "union all select doc_id + 900000, text from olddocs where doc_id < 5), "
+            "pcts as (select token, count(*) as c from (select "
+            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as token from olddocs) "
+            "group by token), "
+            "qcts as (select token, count(*) as c from (select "
+            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as token from newdocs) "
+            "group by token), "
+            "pd as (select token, c / (select sum(c) from pcts) as p from pcts), "
+            "qd as (select token, c / (select sum(c) from qcts) as q from qcts), "
+            "j as (select token, coalesce(p, 0) as p, coalesce(q, 0) as q "
+            "from pd full outer join qd using (token)) "
+            "select token, round(p, 8) as p_old, round(q, 8) as p_new, "
+            "round(abs(p - q), 8) as drift from j "
+            "order by drift desc, token asc limit 20"
         ),
         "table_diff": (
             "with old as (select doc_id, text from documents), "
