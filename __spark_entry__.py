@@ -1251,10 +1251,12 @@ def q_token_drift(spark, sf_dir):
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
-        total = counts.groupBy().agg(F.sum("_c").alias("_n"))
-        return counts.crossJoin(F.broadcast(total)).select(
-            "token", (F.col("_c") / F.col("_n")).alias(pcol)
-        )
+        # normalize via an unpartitioned window sum: it only ever runs over
+        # the VOCAB-sized counts frame (bounded — never the corpus), and it
+        # keeps the plan free of the broadcast-scalar nested-loop join the
+        # contract-wide no-cartesian guard rejects
+        total = F.sum("_c").over(Window.partitionBy())
+        return counts.select("token", (F.col("_c") / total).alias(pcol))
 
     p = dist(docs, "_p")
     q = dist(new, "_q")
