@@ -469,6 +469,10 @@ def build_bloom_words(hashes: DataFrame, hv_col: str, m_bits: int = 1 << 17, k: 
     scales, the aggregation shape is unchanged) but the probe side should
     ship the words via a broadcast join or Spark's own runtime bloom
     pruning rather than a plan literal; documented at the probe."""
+    if m_bits <= 0 or m_bits % 64:
+        # the probe reconstructs m as len(words) * 64 — a non-multiple here
+        # would silently change the modulus between build and probe
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     pos = F.explode(
         F.array(*[F.pmod(F.xxhash64(F.lit(i), F.col(hv_col)), F.lit(m_bits)) for i in range(k)])
     ).alias("_pos")
