@@ -1709,6 +1709,31 @@ def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup_pairs(corpus, "doc_id", "text", prefix_bits=16, max_hamming=8)
 
 
+def q_image_embed_neardup(spark, sf_dir):
+    """The full multimodal near-dup chain over IMAGES: decode -> embed
+    (deterministic 8x8-gray feature extractor, multimodal.image_embedding;
+    a real CLIP/ViT slots behind the same signature) -> hyperplane-LSH
+    buckets -> exact cosine verify. Corpus = 200 generated pairs + planted
+    exact-payload copies of the first 10 under '<id>_dup' ids, which MUST
+    surface as cosine-1.0 pairs. Oracle: an independent-decoder fixture
+    pins the embeddings (verified bit-identical), and DuckDB rebuilds the
+    LSH buckets and cosine pairs from those values alone."""
+    from ccnet_spark_spark.operators import multimodal
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 200).select("image_id", "bytes", "fmt")
+    dups = pairs.orderBy("image_id").limit(10).select(
+        F.concat(F.col("image_id"), F.lit("_dup")).alias("image_id"), "bytes", "fmt"
+    )
+    corpus = pairs.union(dups)
+    # small (210 x 64-float) frame feeding a self-join: materialize so the
+    # generator+decode+embed subtree doesn't execute once per join branch
+    emb = multimodal.image_embedding(corpus, dim=64).localCheckpoint()
+    return similarity.embedding_near_dup(
+        emb, "image_id", "embedding", threshold=0.9999, n_planes=6, dim=64
+    )
+
+
 def q_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (scale path). Approximate
     vs brute force, but fully DETERMINISTIC given the seeded hyperplanes —
@@ -2049,11 +2074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 39 queries added in round 3 (the image+caption
     # flagship pairs_pipeline, corpus_build, the quality-rule family, the
     # fixture-oracled multimodal ops, streaming/ANN) that had no driver row
-    # yet, the 7 queries new in round 4 (incremental_dedup_bloom,
+    # yet, the 8 queries new in round 4 (incremental_dedup_bloom,
     # dup_passages, dup_passage_stats, dup_passage_trim, token_drift,
-    # streaming_dedup_native, stream_static_join), plus 4 already-recorded
-    # sentinels (dedup_keep, dedup_nokeep, pp_bucket, minhash_pairs) kept
-    # as cross-round regression canaries. Queries
+    # image_embed_neardup, streaming_dedup_native, stream_static_join),
+    # plus 3 already-recorded sentinels (dedup_keep, dedup_nokeep,
+    # pp_bucket) kept as cross-round regression canaries. Queries
     # past position 50 remain fully covered by tools/check_oracle.py (the
     # same harness, run locally and in CI-style pytest).
     return {
@@ -2101,7 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- simhash (round-2 ex-fails, fixture-oracled since r3) ---
         "simhash": _wrap(q_simhash),
         "simhash_neardup": _wrap(q_simhash_neardup),
-        # --- ANN ---
+        # --- ANN / multimodal similarity ---
+        "image_embed_neardup": _wrap(q_image_embed_neardup),  # new in r4
         "lsh_ann": _wrap(q_lsh_ann),
         "ivf_exhaustive": _wrap(q_ivf_exhaustive),
         "ivf_ann": _wrap(q_ivf_ann),
@@ -2459,6 +2485,15 @@ def oracle_sql() -> dict[str, str]:
             "from embeddings a, embeddings b "
             "where a.vec_id < 200 and b.vec_id < 200 and a.vec_id < b.vec_id "
             "and " + cos + " >= 0.4"
+        ),
+        "image_embed_neardup": (
+            "with bk as (select image_id, embedding, "
+            + similarity.lsh_bucket_sql("embedding", similarity.hyperplanes(64, 6))
+            + f" as bucket from read_parquet('{_fixture('image_embed200_expected.parquet')}')) "
+            "select id_a, id_b, cosine from ("
+            "select a.image_id as id_a, b.image_id as id_b, " + cos + " as cosine "
+            "from bk a join bk b using (bucket) where a.image_id < b.image_id) "
+            "where cosine >= 0.9999"
         ),
         "emb_neardup_lsh": (
             "with bk as (select vec_id, embedding, "

@@ -233,6 +233,17 @@ def test_gopher_gates_fused_matches_standalone(spark):
         assert fused[d] == (words[d], reps[d]), d
 
 
+def test_image_embed_neardup_finds_planted_copies(spark):
+    """decode -> embed -> LSH -> cosine must surface exactly the 10 planted
+    exact-payload copies as cosine-1.0 pairs (and nothing else at 0.9999)."""
+    import __spark_entry__ as em
+
+    rows = em.q_image_embed_neardup(spark, "/root/testdata/sf0.01").collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == {(f"img{i:010d}", f"img{i:010d}_dup") for i in range(10)}
+    assert all(r["cosine"] == 1.0 for r in rows)
+
+
 def test_fixture_sf_mismatch_raises(monkeypatch):
     import __spark_entry__ as entry
 

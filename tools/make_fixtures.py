@@ -273,6 +273,39 @@ def _simhash_independent(tokens: list[str]) -> int:
     return out
 
 
+def make_image_embedding_expected(n: int = 200, plant: int = 10, dim: int = 64) -> None:
+    """Expected image embeddings for the decode->embed->LSH-near-dup chain
+    (q_image_embed_neardup): the 200-pair corpus PLUS planted exact-payload
+    copies ('<id>_dup') of the first `plant` images. Decode goes through the
+    INDEPENDENT format-spec decoder above (not engine codecs); the embed
+    arithmetic (8x8 grayscale downsample -> flatten -> float32 L2 normalize)
+    follows the documented spec with the same numpy ops the spec fixes, so
+    values are bit-identical and DuckDB can rebuild the LSH buckets and
+    cosine pairs from these numbers alone."""
+    from ccnet_spark_spark.synth import gen_pandas
+
+    def embed(data: bytes) -> list:
+        px = _decode_independent(bytes(data)).astype(np.float32)
+        gray = px.mean(axis=2)
+        ys = (np.arange(8) * gray.shape[0] // 8).clip(0, gray.shape[0] - 1)
+        xs = (np.arange(8) * gray.shape[1] // 8).clip(0, gray.shape[1] - 1)
+        v = gray[np.ix_(ys, xs)].flatten()[:dim]
+        if len(v) < dim:
+            v = np.pad(v, (0, dim - len(v)))
+        nrm = float(np.linalg.norm(v)) or 1.0
+        return (v / nrm).astype(np.float32).tolist()
+
+    pairs = gen_pandas(0, n)
+    rows = [
+        {"image_id": r["image_id"], "embedding": embed(r["bytes"])} for _, r in pairs.iterrows()
+    ]
+    for _, r in pairs.head(plant).iterrows():
+        rows.append({"image_id": r["image_id"] + "_dup", "embedding": embed(r["bytes"])})
+    out = pd.DataFrame(rows)
+    out.to_parquet(os.path.join(FIXTURES, "image_embed200_expected.parquet"), index=False)
+    print(f"image_embed200_expected.parquet: {len(out)} rows")
+
+
 def make_simhash_expected(sf_dir: str) -> None:
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     planted = docs[docs["doc_id"] < SIMHASH_PLANT_N]
@@ -307,6 +340,7 @@ if __name__ == "__main__":
     make_audio_stats_expected()
     make_image_stats_expected()
     make_image_resize_expected()
+    make_image_embedding_expected()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join("/root/testdata", sf)
         if os.path.isdir(d):
