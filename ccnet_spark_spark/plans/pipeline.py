@@ -71,6 +71,13 @@ class Config:
     fuse_lm: bool = True  # tokenize+perplexity in one Arrow crossing
     observe: bool = False  # attach an Observation with run metrics (rows/kept/chars)
     drop_tokenized: bool = True  # reference DROP step (pipe_line.py:342-343)
+    # engine addition (off by default — not a reference step): after line
+    # dedup, cut corpus-duplicated token passages out of dedup_caption
+    # (operators/passages.py). Trimmed text is a space-joined token stream
+    # (newline structure is not preserved); `length` is recomputed, nlines
+    # keeps the pre-trim line count.
+    passage_trim: bool = False
+    passage_gram_n: int = 8
     steps: list[str] = field(default_factory=lambda: list(ALL_STEPS))
 
 
@@ -108,6 +115,18 @@ class Pipeline:
             docs, id_col=id_col, text_col=text_col, variant=cfg.dedup_variant,
             hash_algo=cfg.hash_algo, scope=cfg.dedup_scope,
         )
+        if cfg.passage_trim:
+            from ..operators import passages as passages_op
+
+            trimmed = passages_op.trim_duplicate_passages(
+                enriched, id_col, "dedup_caption", gram_n=cfg.passage_gram_n
+            )
+            enriched = enriched.drop("dedup_caption").join(
+                trimmed.select(id_col, F.col("trimmed_text").alias("dedup_caption")),
+                on=id_col,
+                how="left",
+            )
+            enriched = enriched.withColumn("length", F.length("dedup_caption").cast("int"))
         if "lid" in cfg.steps:
             enriched = lid.with_lang(enriched, "dedup_caption", cfg.lid_model_path, cfg.lid_threshold)
             n_parts = cfg.salt_partitions or self.spark.sparkContext.defaultParallelism

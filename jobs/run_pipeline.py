@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--id-col", default="image_id", help="key column (e.g. doc_id for document tables)")
     ap.add_argument("--text-col", default="caption", help="text column (e.g. text for document tables)")
     ap.add_argument("--lang-col", default=None, help="pre-labeled corpus: take language from this input column and skip LID")
+    ap.add_argument("--trim-passages", action="store_true", help="cut corpus-duplicated token passages out of the deduped text (engine addition)")
+    ap.add_argument("--passage-gram-n", type=int, default=8)
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -62,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
         cutoffs=load_cutoffs_dict(args.cutoffs) if args.cutoffs else None,
         cutoffs_csv=args.cutoffs,
         lang_col=args.lang_col,
+        passage_trim=args.trim_passages,
+        passage_gram_n=args.passage_gram_n,
         steps=[st for st in ALL_STEPS if st != "lid"] if args.lang_col else list(ALL_STEPS),
     )
     pipe = Pipeline(spark, cfg)

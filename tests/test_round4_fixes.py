@@ -233,6 +233,46 @@ def test_gopher_gates_fused_matches_standalone(spark):
         assert fused[d] == (words[d], reps[d]), d
 
 
+def test_pipeline_passage_trim_step(spark):
+    """Opt-in passage_trim stage: corpus-duplicated token runs vanish from
+    dedup_caption, `length` is recomputed, and with the flag OFF the output
+    is byte-identical to the default pipeline."""
+    from ccnet_spark_spark.operators.bucket import load_cutoffs_dict
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+
+    boiler = "shared boilerplate header tokens appearing in every doc"
+    # per-doc tails are fully distinct LETTER-ONLY token sequences: digits
+    # would be normalized to 0 by the dedup hash, collapsing all docs into
+    # one (round-4 memory gotcha), and any shared run >= n would itself be
+    # a duplicated passage and correctly get trimmed
+    rows = [
+        (
+            f"id{i:03d}",
+            boiler + " " + " ".join(f"uq{'abcdef'[i]}{'abcdefghijkl'[k]}" for k in range(12)),
+        )
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["image_id", "caption"])
+    base_cfg = dict(min_len=10, cutoffs=load_cutoffs_dict(), steps=["real_len", "dedup", "scrub"])
+    plain = Pipeline(spark, Config(**base_cfg)).run(docs).select("image_id", "dedup_caption", "length").collect()
+    trimmed = (
+        Pipeline(spark, Config(**base_cfg, passage_trim=True, passage_gram_n=4))
+        .run(docs)
+        .select("image_id", "dedup_caption", "length")
+        .collect()
+    )
+    p = {r["image_id"]: r for r in plain}
+    t = {r["image_id"]: r for r in trimmed}
+    for i in p:
+        assert boiler in p[i]["dedup_caption"]
+        assert boiler not in t[i]["dedup_caption"]  # duplicated passage cut
+        assert f"uq{'abcdef'[int(i[2:])]}a" in t[i]["dedup_caption"]  # unique part kept
+        assert t[i]["length"] == len(t[i]["dedup_caption"])  # recomputed
+    # flag off == unchanged default output
+    again = Pipeline(spark, Config(**base_cfg)).run(docs).select("image_id", "dedup_caption", "length").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, plain))
+
+
 def test_image_embed_neardup_finds_planted_copies(spark):
     """decode -> embed -> LSH -> cosine must surface exactly the 10 planted
     exact-payload copies as cosine-1.0 pairs (and nothing else at 0.9999)."""
