@@ -1709,6 +1709,23 @@ def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup_pairs(corpus, "doc_id", "text", prefix_bits=16, max_hamming=8)
 
 
+def q_pairs_source(spark, sf_dir):
+    """Spark-4 Python DataSource ingestion — the native mapping of the
+    reference's custom segment-download source (S1, pipe_load.py): a
+    registered format with explicit schema, driver-side partition planning
+    (one InputPartition per row range = one per segment), executor-side row
+    materialization. Oracle: ids+captions against the checked-in
+    pandas-generated input fixture, phash against the phash fixture —
+    proving the registered source yields exactly the corpus the rest of
+    the contract computes over."""
+    from ccnet_spark_spark.sources.pairs_source import PairsDataSource
+
+    _ensure_pkg(spark)
+    spark.dataSource.register(PairsDataSource)
+    df = spark.read.format("ccnet_pairs").option("n", 400).option("partitions", 8).load()
+    return df.select("image_id", "caption", "phash")
+
+
 def q_image_embed_neardup(spark, sf_dir):
     """The full multimodal near-dup chain over IMAGES: decode -> embed
     (deterministic 8x8-gray feature extractor, multimodal.image_embedding;
@@ -2074,11 +2091,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 39 queries added in round 3 (the image+caption
     # flagship pairs_pipeline, corpus_build, the quality-rule family, the
     # fixture-oracled multimodal ops, streaming/ANN) that had no driver row
-    # yet, the 8 queries new in round 4 (incremental_dedup_bloom,
+    # yet, the 9 queries new in round 4 (incremental_dedup_bloom,
     # dup_passages, dup_passage_stats, dup_passage_trim, token_drift,
-    # image_embed_neardup, streaming_dedup_native, stream_static_join),
-    # plus 3 already-recorded sentinels (dedup_keep, dedup_nokeep,
-    # pp_bucket) kept as cross-round regression canaries. Queries
+    # pairs_source, image_embed_neardup, streaming_dedup_native,
+    # stream_static_join), plus 2 already-recorded sentinels (dedup_keep,
+    # dedup_nokeep) kept as cross-round regression canaries. Queries
     # past position 50 remain fully covered by tools/check_oracle.py (the
     # same harness, run locally and in CI-style pytest).
     return {
@@ -2113,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _wrap(q_table_diff),
         "token_drift": _wrap(q_token_drift),  # new in r4
         "merge_upsert": _wrap(q_merge_upsert),
+        "pairs_source": _wrap(q_pairs_source),  # new in r4
         "json_source": _wrap(q_json_source),
         "csv_source": _wrap(q_csv_source),
         "orc_source": _wrap(q_orc_source),
@@ -2485,6 +2503,11 @@ def oracle_sql() -> dict[str, str]:
             "from embeddings a, embeddings b "
             "where a.vec_id < 200 and b.vec_id < 200 and a.vec_id < b.vec_id "
             "and " + cos + " >= 0.4"
+        ),
+        "pairs_source": (
+            f"select f.image_id, f.caption, p.phash "
+            f"from read_parquet('{_fixture('pairs400_input.parquet')}') f "
+            f"join read_parquet('{_fixture('pairs400_phash.parquet')}') p using (image_id)"
         ),
         "image_embed_neardup": (
             "with bk as (select image_id, embedding, "

@@ -1,0 +1,75 @@
+"""Custom Spark 4 Python DataSource for the pair corpus — the engine's
+native mapping of the reference's ingestion SOURCE (S1: the HTTP segment
+downloader, /root/reference/pipe_load.py — a custom source that fetches
+and parses partitioned raw data into rows).
+
+Spark 4's pyspark.sql.datasource API lets a Python class BE a first-class
+`spark.read.format(...)` source: Catalyst sees a real relation with an
+explicit schema, partition planning happens on the driver (one
+InputPartition per row range — the analogue of one partition per WET
+segment), and each executor materializes only its partition's rows.
+Swapping the deterministic generator for an HTTP fetch + WARC parse
+inside `read()` reproduces the reference's ingestion exactly — partition
+= segment, row = document — without touching anything downstream.
+
+Usage:
+    spark.dataSource.register(PairsDataSource)
+    df = (spark.read.format("ccnet_pairs")
+          .option("n", 400).option("partitions", 8).load())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..schema import PAIRS_SCHEMA
+
+
+class RangePartition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int):
+        self.start, self.end, self.seed = start, end, seed
+
+
+class PairsDataSource(DataSource):
+    """Options: n (rows, default 400), partitions (default 8), seed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ccnet_pairs"
+
+    def schema(self):
+        return PAIRS_SCHEMA
+
+    def reader(self, schema) -> "PairsReader":
+        return PairsReader(self.options)
+
+
+class PairsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 400))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.seed = int(options.get("seed", 0) or 0) or None
+
+    def partitions(self):
+        per = -(-self.n // self.n_parts)
+        return [
+            RangePartition(lo, min(lo + per, self.n), self.seed or 0)
+            for lo in range(0, self.n, per)
+        ]
+
+    def read(self, partition: RangePartition):
+        # import inside read(): executes on the executor worker
+        from ccnet_spark_spark.synth import DEFAULT_SEED, gen_row
+
+        seed = partition.seed or DEFAULT_SEED
+        for i in range(partition.start, partition.end):
+            r = gen_row(i, seed)
+            yield (
+                r["image_id"],
+                r["bytes"],
+                r["w"],
+                r["h"],
+                r["fmt"],
+                r["caption"],
+                r["phash"],
+            )

@@ -233,6 +233,22 @@ def test_gopher_gates_fused_matches_standalone(spark):
         assert fused[d] == (words[d], reps[d]), d
 
 
+def test_pairs_datasource_partitions_and_parity(spark):
+    """The registered Python DataSource must honor its partition option and
+    yield exactly the rows the mapInPandas generator produces."""
+    import __spark_entry__ as em
+    from ccnet_spark_spark.sources.pairs_source import PairsDataSource
+    from ccnet_spark_spark.synth import generate_pairs
+
+    em._ensure_pkg(spark)
+    spark.dataSource.register(PairsDataSource)
+    df = spark.read.format("ccnet_pairs").option("n", 60).option("partitions", 5).load()
+    assert df.rdd.getNumPartitions() == 5
+    a = df.orderBy("image_id").collect()
+    b = generate_pairs(spark, 60).orderBy("image_id").collect()
+    assert a == b
+
+
 def test_pipeline_passage_trim_step(spark):
     """Opt-in passage_trim stage: corpus-duplicated token runs vanish from
     dedup_caption, `length` is recomputed, and with the flag OFF the output
