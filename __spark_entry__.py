@@ -1726,6 +1726,54 @@ def q_pairs_source(spark, sf_dir):
     return df.select("image_id", "caption", "phash")
 
 
+def q_pairs_source_stream(spark, sf_dir):
+    """The custom DataSource's STREAMING face: the same registered format
+    read via readStream — offset = next row index, micro-batches of 60,
+    bounded n=200 so the offset stops advancing once the feed is drained
+    (4 real micro-batches through a parquet sink + checkpoint;
+    processAllAvailable terminates because offsets cap at n — AvailableNow
+    would stop after the single prefetched batch with this simple-reader
+    API). The reference's continuous segment feed, replayable exactly-once
+    from the offset log. Oracle: the drained sink must equal the first 200
+    fixture rows."""
+    from ccnet_spark_spark.sources.pairs_source import PairsDataSource
+
+    _ensure_pkg(spark)
+    spark.dataSource.register(PairsDataSource)
+    _src, sink, ckpt = _stream_dirs("pairs_source_stream")
+    stream = (
+        spark.readStream.format("ccnet_pairs")
+        .option("n", 200)
+        .option("rows_per_batch", 60)
+        .load()
+    )
+    q = (
+        stream.select("image_id", "caption", "phash")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    # processAllAvailable can return between the simple reader's prefetches
+    # (only data exposed at call time counts as "available"), so poll the
+    # sink until the bounded feed has fully drained — same pattern as the
+    # TTL streaming test's canary probe
+    import time as _time
+
+    deadline = _time.time() + 90
+    while _time.time() < deadline:
+        q.processAllAvailable()
+        try:
+            if spark.read.parquet(sink).count() >= 200:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.5)
+    q.stop()
+    return spark.read.parquet(sink).select("image_id", "caption", "phash")
+
+
 def q_image_embed_neardup(spark, sf_dir):
     """The full multimodal near-dup chain over IMAGES: decode -> embed
     (deterministic 8x8-gray feature extractor, multimodal.image_embedding;
@@ -2091,11 +2139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 39 queries added in round 3 (the image+caption
     # flagship pairs_pipeline, corpus_build, the quality-rule family, the
     # fixture-oracled multimodal ops, streaming/ANN) that had no driver row
-    # yet, the 9 queries new in round 4 (incremental_dedup_bloom,
+    # yet, the 10 queries new in round 4 (incremental_dedup_bloom,
     # dup_passages, dup_passage_stats, dup_passage_trim, token_drift,
-    # pairs_source, image_embed_neardup, streaming_dedup_native,
-    # stream_static_join), plus 2 already-recorded sentinels (dedup_keep,
-    # dedup_nokeep) kept as cross-round regression canaries. Queries
+    # pairs_source, pairs_source_stream, image_embed_neardup,
+    # streaming_dedup_native, stream_static_join), plus dedup_keep as the
+    # one remaining already-recorded canary — never-recorded queries get
+    # priority over twice-recorded sentinels for the scarce slots. Queries
     # past position 50 remain fully covered by tools/check_oracle.py (the
     # same harness, run locally and in CI-style pytest).
     return {
@@ -2131,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": _wrap(q_token_drift),  # new in r4
         "merge_upsert": _wrap(q_merge_upsert),
         "pairs_source": _wrap(q_pairs_source),  # new in r4
+        "pairs_source_stream": _wrap(q_pairs_source_stream),  # new in r4
         "json_source": _wrap(q_json_source),
         "csv_source": _wrap(q_csv_source),
         "orc_source": _wrap(q_orc_source),
@@ -2508,6 +2558,13 @@ def oracle_sql() -> dict[str, str]:
             f"select f.image_id, f.caption, p.phash "
             f"from read_parquet('{_fixture('pairs400_input.parquet')}') f "
             f"join read_parquet('{_fixture('pairs400_phash.parquet')}') p using (image_id)"
+        ),
+        # drained availableNow stream == the first 200 fixture rows
+        "pairs_source_stream": (
+            f"select f.image_id, f.caption, p.phash "
+            f"from read_parquet('{_fixture('pairs400_input.parquet')}') f "
+            f"join read_parquet('{_fixture('pairs400_phash.parquet')}') p using (image_id) "
+            "where f.image_id < 'img0000000200'"
         ),
         "image_embed_neardup": (
             "with bk as (select image_id, embedding, "

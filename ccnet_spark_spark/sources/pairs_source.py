@@ -20,7 +20,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..schema import PAIRS_SCHEMA
 
@@ -42,6 +47,66 @@ class PairsDataSource(DataSource):
 
     def reader(self, schema) -> "PairsReader":
         return PairsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "PairsStreamReader":
+        return PairsStreamReader(self.options)
+
+
+class PairsStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING ingestion from the same source — the reference's
+    continuous segment feed as a Structured Streaming source: the offset
+    is the next unread row index, each micro-batch advances it by
+    rows_per_batch, and a bounded `n` makes the stream drain under
+    Trigger.AvailableNow (offsets stop advancing at n). Exactly-once comes
+    from the offset log: replaying a batch re-yields the same deterministic
+    rows. Options: n (total rows), rows_per_batch, seed."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 100))
+        self.per_batch = max(1, int(options.get("rows_per_batch", 25)))
+        self.seed = int(options.get("seed", 0) or 0) or None
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        from ccnet_spark_spark.synth import DEFAULT_SEED, gen_row
+
+        pos = int(start["pos"])
+        end = min(pos + self.per_batch, self.n)
+        seed = self.seed or DEFAULT_SEED
+        rows = [
+            (
+                r["image_id"],
+                r["bytes"],
+                r["w"],
+                r["h"],
+                r["fmt"],
+                r["caption"],
+                r["phash"],
+            )
+            for r in (gen_row(i, seed) for i in range(pos, end))
+        ]
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        # replay path (failure recovery): regenerate the exact row range
+        rows, _ = PairsStreamReader.read(
+            _FixedRange(self, int(start["pos"]), int(end["pos"])), start
+        )
+        return rows
+
+    def commit(self, end):
+        pass
+
+
+class _FixedRange:
+    """Adapter so readBetweenOffsets reuses read() with a pinned end."""
+
+    def __init__(self, src: PairsStreamReader, start: int, end: int):
+        self.n = end
+        self.per_batch = max(1, end - start)
+        self.seed = src.seed
 
 
 class PairsReader(DataSourceReader):
