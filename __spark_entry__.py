@@ -1774,6 +1774,21 @@ def q_pairs_source_stream(spark, sf_dir):
     return spark.read.parquet(sink).select("image_id", "caption", "phash")
 
 
+def q_custom_sink_roundtrip(spark, sf_dir):
+    """The writer half of the custom DataSource: documents written through
+    the registered format's two-phase commit sink (per-task staging file ->
+    commit message -> driver-side atomic publish + _SUCCESS) and read back.
+    The round-trip must be lossless — the oracle is the table itself."""
+    from ccnet_spark_spark.sources.pairs_source import PairsDataSource
+
+    _ensure_pkg(spark)
+    spark.dataSource.register(PairsDataSource)
+    _src, sink, _ckpt = _stream_dirs("custom_sink_roundtrip")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    docs.write.format("ccnet_pairs").option("path", sink).mode("append").save()
+    return spark.read.parquet(sink).select("doc_id", "lang", "text")
+
+
 def q_image_embed_neardup(spark, sf_dir):
     """The full multimodal near-dup chain over IMAGES: decode -> embed
     (deterministic 8x8-gray feature extractor, multimodal.image_embedding;
@@ -2139,12 +2154,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 39 queries added in round 3 (the image+caption
     # flagship pairs_pipeline, corpus_build, the quality-rule family, the
     # fixture-oracled multimodal ops, streaming/ANN) that had no driver row
-    # yet, the 10 queries new in round 4 (incremental_dedup_bloom,
+    # yet, plus the 11 queries new in round 4 (incremental_dedup_bloom,
     # dup_passages, dup_passage_stats, dup_passage_trim, token_drift,
-    # pairs_source, pairs_source_stream, image_embed_neardup,
-    # streaming_dedup_native, stream_static_join), plus dedup_keep as the
-    # one remaining already-recorded canary — never-recorded queries get
-    # priority over twice-recorded sentinels for the scarce slots. Queries
+    # pairs_source, pairs_source_stream, custom_sink_roundtrip,
+    # image_embed_neardup, streaming_dedup_native, stream_static_join) —
+    # the window is now ENTIRELY never-driver-recorded queries:
+    # never-recorded entries get priority over already-recorded sentinels
+    # for the scarce slots (rounds 1-3 recorded the rest). Queries
     # past position 50 remain fully covered by tools/check_oracle.py (the
     # same harness, run locally and in CI-style pytest).
     return {
@@ -2181,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _wrap(q_merge_upsert),
         "pairs_source": _wrap(q_pairs_source),  # new in r4
         "pairs_source_stream": _wrap(q_pairs_source_stream),  # new in r4
+        "custom_sink_roundtrip": _wrap(q_custom_sink_roundtrip),  # new in r4
         "json_source": _wrap(q_json_source),
         "csv_source": _wrap(q_csv_source),
         "orc_source": _wrap(q_orc_source),
@@ -2559,6 +2576,8 @@ def oracle_sql() -> dict[str, str]:
             f"from read_parquet('{_fixture('pairs400_input.parquet')}') f "
             f"join read_parquet('{_fixture('pairs400_phash.parquet')}') p using (image_id)"
         ),
+        # lossless round-trip through the two-phase-commit custom sink
+        "custom_sink_roundtrip": "select doc_id, lang, text from documents",
         # drained availableNow stream == the first 200 fixture rows
         "pairs_source_stream": (
             f"select f.image_id, f.caption, p.phash "

@@ -23,8 +23,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from ..schema import PAIRS_SCHEMA
@@ -50,6 +52,61 @@ class PairsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "PairsStreamReader":
         return PairsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "StagedParquetWriter":
+        return StagedParquetWriter(self.options, schema, overwrite)
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, staged: str):
+        self.staged = staged
+
+
+class StagedParquetWriter(DataSourceWriter):
+    """Custom SINK with a real two-phase commit — the writer half of the
+    DataSource API (the reference's S6/S7 sinks as a registered format):
+    each task writes its partition to a STAGING file and returns the path
+    as its commit message; commit() — which runs exactly once on the
+    driver with every task's message — moves the staged files into the
+    target directory and drops a _SUCCESS marker; abort() discards the
+    staging area, so readers never observe a half-written result. The
+    same protocol every production table format implements (parquet
+    committer / Iceberg snapshot commit), here visible end-to-end."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("ccnet_pairs writer requires .option('path', ...)")
+        self.path = path
+        self.names = schema.names
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _FileCommit:
+        import os
+        import uuid
+
+        import pandas as pd
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
+        pd.DataFrame(list(iterator), columns=self.names).to_parquet(staged, index=False)
+        return _FileCommit(staged)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            os.rename(m.staged, os.path.join(self.path, os.path.basename(m.staged)))
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
 
 class PairsStreamReader(SimpleDataSourceStreamReader):
