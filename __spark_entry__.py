@@ -1709,6 +1709,33 @@ def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup_pairs(corpus, "doc_id", "text", prefix_bits=16, max_hamming=8)
 
 
+def q_bpe_train(spark, sf_dir):
+    """On-corpus BPE tokenizer training (operators/bpe.py) — the trainer
+    behind the reference's shipped SentencePiece artifacts, like
+    cutoff_train is the trainer behind its cutoff.csv. One corpus pass
+    builds the (word, freq) vocab; 16 merge rounds run over the vocab-sized
+    frame only. Oracle: an independent pure-Python BPE fixture (Counter +
+    explicit merge loop) pins the full merge table — order, pairs, and
+    weighted counts."""
+    from ccnet_spark_spark.operators import bpe
+
+    _assert_fixture_sf(sf_dir)
+    merges, _vocab = bpe.train_bpe(spark, _docs(spark, sf_dir), "text", num_merges=16)
+    return merges
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """The trained tokenizer applied to its own vocabulary: final
+    (word, symbols, freq) after all 16 merges — checks the merge
+    APPLICATION (leftmost-greedy, same-pass rescan) against the
+    independent fixture, not just the learned pair order."""
+    from ccnet_spark_spark.operators import bpe
+
+    _assert_fixture_sf(sf_dir)
+    _merges, vocab = bpe.train_bpe(spark, _docs(spark, sf_dir), "text", num_merges=16)
+    return vocab
+
+
 def q_pairs_source(spark, sf_dir):
     """Spark-4 Python DataSource ingestion — the native mapping of the
     reference's custom segment-download source (S1, pipe_load.py): a
@@ -2154,13 +2181,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 39 queries added in round 3 (the image+caption
     # flagship pairs_pipeline, corpus_build, the quality-rule family, the
     # fixture-oracled multimodal ops, streaming/ANN) that had no driver row
-    # yet, plus the 11 queries new in round 4 (incremental_dedup_bloom,
-    # dup_passages, dup_passage_stats, dup_passage_trim, token_drift,
+    # yet, plus 11 of the 13 queries new in round 4 (incremental_dedup_
+    # bloom, dup_passages, dup_passage_trim, token_drift, bpe_train,
     # pairs_source, pairs_source_stream, custom_sink_roundtrip,
     # image_embed_neardup, streaming_dedup_native, stream_static_join) —
-    # the window is now ENTIRELY never-driver-recorded queries:
-    # never-recorded entries get priority over already-recorded sentinels
-    # for the scarce slots (rounds 1-3 recorded the rest). Queries
+    # the window is ENTIRELY never-driver-recorded queries: never-recorded
+    # entries get priority over already-recorded sentinels for the scarce
+    # slots (rounds 1-3 recorded the rest). The two r4 queries left below
+    # the window (dup_passage_stats, bpe_vocab) have in-window sibling
+    # queries exercising the same operators + fixtures; they rotate in
+    # next round. Queries
     # past position 50 remain fully covered by tools/check_oracle.py (the
     # same harness, run locally and in CI-style pytest).
     return {
@@ -2178,12 +2208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _wrap(q_c4_filters),
         "cutoff_train": _wrap(q_cutoff_train),
         "selfcal_bucket": _wrap(q_selfcal_bucket),
+        "bpe_train": _wrap(q_bpe_train),  # new in r4
         # --- hygiene / sampling / packing ---
         "decontaminate": _wrap(q_decontaminate),
         "incremental_dedup": _wrap(q_incremental_dedup),
         "incremental_dedup_bloom": _wrap(q_incremental_dedup_bloom),  # new in r4
         "dup_passages": _wrap(q_dup_passages),  # new in r4
-        "dup_passage_stats": _wrap(q_dup_passage_stats),  # new in r4
         "dup_passage_trim": _wrap(q_dup_passage_trim),  # new in r4
         "stratified_sample": _wrap(q_stratified_sample),
         "pack_sequences": _wrap(q_pack_sequences),
@@ -2233,8 +2263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _wrap(q_dup_clusters),
         "events_window_stream": _wrap(q_events_window_stream),
         "asof_join": _wrap(q_asof_join),
-        # ---------------- position > 50: driver-recorded green in r1-r3,
-        # ---------------- still verified every run by tools/check_oracle.py
+        # ---------------- position > 50: verified every run by
+        # ---------------- tools/check_oracle.py; dup_passage_stats and
+        # ---------------- bpe_vocab wait for a round-5 window slot (their
+        # ---------------- sibling queries dup_passages / bpe_train are in
+        # ---------------- the window and share the same operators+fixtures)
+        "dup_passage_stats": _wrap(q_dup_passage_stats),  # new in r4
+        "bpe_vocab": _wrap(q_bpe_vocab),  # new in r4
         "exact_dedup": _wrap(q_exact_dedup),
         "rollup": _wrap(q_rollup),
         "hash_sample": _wrap(q_hash_sample),
@@ -2295,6 +2330,15 @@ def _fixture(name: str) -> str:
     """Absolute path of a checked-in oracle fixture (tools/make_fixtures.py)
     for embedding in oracle SQL via read_parquet."""
     return os.path.join(_REPO_DIR, "fixtures", name)
+
+
+def _sf_fixture(prefix: str) -> str:
+    """Per-sf fixture path keyed off SPARK_GRAFT_SF_DIR (default sf0.01 —
+    the driver gate's sf); queries using these call _assert_fixture_sf."""
+    sfname = os.path.basename(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01").rstrip("/")
+    )
+    return _fixture(f"{prefix}_{sfname}.parquet")
 
 
 def _simhash_fixture() -> str:
@@ -2578,6 +2622,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # lossless round-trip through the two-phase-commit custom sink
         "custom_sink_roundtrip": "select doc_id, lang, text from documents",
+        "bpe_train": (
+            f'select rank, "left", "right", merged, pair_count '
+            f"from read_parquet('{_sf_fixture('bpe_merges')}')"
+        ),
+        "bpe_vocab": (
+            f"select word, symbols, freq from read_parquet('{_sf_fixture('bpe_vocab')}')"
+        ),
         # drained availableNow stream == the first 200 fixture rows
         "pairs_source_stream": (
             f"select f.image_id, f.caption, p.phash "

@@ -233,6 +233,35 @@ def test_gopher_gates_fused_matches_standalone(spark):
         assert fused[d] == (words[d], reps[d]), d
 
 
+def test_bpe_trainer_hand_computed(spark):
+    """Tiny corpus with known pair statistics: 'ab' x3, 'abc' x2, 'zz' x1.
+    Pair counts: (a,b)=5, (b,c)=2, (z,z)=1 -> merge 0 = ab(5); then
+    (ab,c)=2 beats (z,z)=1 -> merge 1 = abc(2); then only (z,z)=1."""
+    from ccnet_spark_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab abc abc zz")], ["doc_id", "text"]
+    )
+    merges, vocab = bpe.train_bpe(spark, docs, "text", num_merges=3)
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"]) for r in merges.orderBy("rank").collect()]
+    assert got == [(0, "a", "b", 5), (1, "ab", "c", 2), (2, "z", "z", 1)]
+    v = {r["word"]: r["symbols"] for r in vocab.collect()}
+    assert v == {"ab": "ab", "abc": "abc", "zz": "zz"}
+
+
+def test_bpe_merge_same_pass_rescan(spark):
+    """'aaaa' with pair (a,a) must merge to [aa, aa] in ONE round (the
+    same-pass leftmost rescan a single non-rescanning string replace gets
+    wrong), and round 2 then merges to [aaaa]."""
+    from ccnet_spark_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "aaaa")], ["doc_id", "text"])
+    merges, vocab = bpe.train_bpe(spark, docs, "text", num_merges=2)
+    got = [(r["rank"], r["merged"]) for r in merges.orderBy("rank").collect()]
+    assert got == [(0, "aa"), (1, "aaaa")]
+    assert vocab.collect()[0]["symbols"] == "aaaa"
+
+
 def test_pairs_datasource_partitions_and_parity(spark):
     """The registered Python DataSource must honor its partition option and
     yield exactly the rows the mapInPandas generator produces."""

@@ -306,6 +306,59 @@ def make_image_embedding_expected(n: int = 200, plant: int = 10, dim: int = 64) 
     print(f"image_embed200_expected.parquet: {len(out)} rows")
 
 
+def make_bpe_expected(sf_dir: str, num_merges: int = 16) -> None:
+    """Expected BPE trainer output per sf — an INDEPENDENT pure-Python BPE
+    (Counter over symbol tuples, explicit merge loop): same spec as
+    operators/bpe.py (freq-weighted pair counts, winner = max count then
+    lexical pair, leftmost-greedy merge) but sharing no dataflow with the
+    Spark implementation. Writes bpe_merges_<sf>.parquet and
+    bpe_vocab_<sf>.parquet."""
+    import re
+    from collections import Counter
+
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))["text"]
+    vocab = Counter()
+    for t in docs:
+        for w in re.split(r"\s+", str(t).strip().lower()):
+            if w:
+                vocab[w] += 1
+    words = {w: tuple(w) for w in vocab}
+    merges = []
+    for rank in range(num_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append(
+            {"rank": rank, "left": a, "right": b, "merged": a + b, "pair_count": cnt}
+        )
+        new_words = {}
+        for w, syms in words.items():
+            res, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(res)
+        words = new_words
+    m = pd.DataFrame(merges)
+    m["rank"] = m["rank"].astype("int32")
+    m.to_parquet(os.path.join(FIXTURES, f"bpe_merges_{sfname}.parquet"), index=False)
+    v = pd.DataFrame(
+        [{"word": w, "symbols": " ".join(words[w]), "freq": vocab[w]} for w in sorted(words)]
+    )
+    v.to_parquet(os.path.join(FIXTURES, f"bpe_vocab_{sfname}.parquet"), index=False)
+    print(f"bpe_merges/vocab_{sfname}.parquet: {len(m)} merges, {len(v)} words")
+
+
 def make_simhash_expected(sf_dir: str) -> None:
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     planted = docs[docs["doc_id"] < SIMHASH_PLANT_N]
@@ -345,3 +398,4 @@ if __name__ == "__main__":
         d = os.path.join("/root/testdata", sf)
         if os.path.isdir(d):
             make_simhash_expected(d)
+            make_bpe_expected(d)
