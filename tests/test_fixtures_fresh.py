@@ -137,3 +137,57 @@ def test_multimodal_fixtures_fresh():
     a = gen_audio_row(7)
     row = disk_a[disk_a.audio_id == a["audio_id"]].iloc[0]
     assert row["n_samples"] * 2 == len(a["bytes"]), STALE
+
+
+def test_image_embedding_fixture_fresh():
+    """Embedding fixture must track the independent decoder + the embed
+    spec (8x8 gray downsample -> float32 L2 normalize): spot-check rows,
+    including a planted _dup copy sharing its source's embedding."""
+    import numpy as np
+
+    from ccnet_spark_spark.synth import gen_pandas
+
+    disk = pd.read_parquet(os.path.join(FIX, "image_embed200_expected.parquet"))
+    assert len(disk) == 210, STALE
+    src = gen_pandas(0, 3)
+    d = disk.set_index("image_id")
+    for r in src.itertuples():
+        px = mf._decode_independent(bytes(r.bytes)).astype(np.float32)
+        gray = px.mean(axis=2)
+        ys = (np.arange(8) * gray.shape[0] // 8).clip(0, gray.shape[0] - 1)
+        xs = (np.arange(8) * gray.shape[1] // 8).clip(0, gray.shape[1] - 1)
+        v = gray[np.ix_(ys, xs)].flatten()[:64]
+        if len(v) < 64:
+            v = np.pad(v, (0, 64 - len(v)))
+        nrm = float(np.linalg.norm(v)) or 1.0
+        want = (v / nrm).astype(np.float32).tolist()
+        assert list(d.loc[r.image_id, "embedding"]) == want, STALE
+        assert list(d.loc[r.image_id + "_dup", "embedding"]) == want, STALE
+
+
+def test_bpe_fixture_fresh():
+    """BPE fixtures must track the documents tables: first merges re-derived
+    by a third, in-test pair count over the raw corpus."""
+    import re
+    from collections import Counter
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("no sf0.01 testdata")
+    merges = pd.read_parquet(os.path.join(FIX, "bpe_merges_sf0.01.parquet"))
+    assert len(merges) == 16, STALE
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))["text"]
+    vocab = Counter()
+    for t in docs:
+        for w in re.split(r"\s+", str(t).strip().lower()):
+            if w:
+                vocab[w] += 1
+    pc = Counter()
+    for w, f in vocab.items():
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] += f
+    (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    r0 = merges.iloc[0]
+    assert (r0["left"], r0["right"], int(r0["pair_count"])) == (a, b, cnt), STALE
+    vdisk = pd.read_parquet(os.path.join(FIX, "bpe_vocab_sf0.01.parquet"))
+    assert set(vdisk["word"]) == set(vocab), STALE
