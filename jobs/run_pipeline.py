@@ -26,7 +26,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
+    """stop_session=False lets in-process callers (tests) keep their shared
+    SparkSession alive; spark-submit runs use the default and stop."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
@@ -88,7 +90,8 @@ def main(argv: list[str] | None = None) -> int:
         tables.write_result(result, args.output)
         kept = spark.read.parquet(args.output).where(F.col("keep")).count()
         print(f"wrote {args.output}; kept={kept}")
-    spark.stop()
+    if stop_session:
+        spark.stop()
     return 0
 
 

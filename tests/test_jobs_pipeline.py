@@ -1,0 +1,55 @@
+"""Smoke the spark-submit pipeline CLI (jobs/run_pipeline.py) end-to-end
+in-process: default run and the --trim-passages variant both produce a
+labeled verdict table."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+)
+
+import run_pipeline  # noqa: E402
+
+CUTOFFS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "cutoffs.csv"
+)
+
+
+def _write_pairs(spark, tmp_path, n=60):
+    from ccnet_spark_spark.synth import generate_pairs
+
+    p = str(tmp_path / "pairs_in")
+    generate_pairs(spark, n).write.parquet(p)
+    return p
+
+
+def test_run_pipeline_cli_default(spark, tmp_path):
+    inp = _write_pairs(spark, tmp_path)
+    out = str(tmp_path / "out_default")
+    rc = run_pipeline.main(["--input", inp, "--output", out, "--cutoffs", CUTOFFS, "--min-len", "50"], stop_session=False)
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert res.count() == 60  # every row survives with a verdict
+    assert {"keep", "drop_reason", "bucket", "scrubbed_caption"} <= set(res.columns)
+    assert res.where("keep").count() > 0
+
+
+def test_run_pipeline_cli_trim_passages(spark, tmp_path):
+    inp = _write_pairs(spark, tmp_path)
+    out = str(tmp_path / "out_trim")
+    rc = run_pipeline.main(
+        [
+            "--input", inp, "--output", out, "--cutoffs", CUTOFFS,
+            "--min-len", "50", "--trim-passages", "--passage-gram-n", "6",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert res.count() == 60
+    # trimming can only shrink the deduped caption
+    import pyspark.sql.functions as F
+
+    bad = res.where(F.length("dedup_caption") > F.col("original_length")).count()
+    assert bad == 0
