@@ -1841,6 +1841,30 @@ def q_image_embed_neardup(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): SEMANTIC near-duplicate removal over
+    the embedding space — hyperplane-LSH-bucketed cosine pairs (>= 0.3 — the synthetic
+    embeddings are near-orthogonal noise except the planted duplicate
+    family, so 0.3 plays the paper's 0.95 on real encoders),
+    connected components over the pair graph, keep the min-id
+    representative of every semantic cluster. The published method's
+    k-means-cluster-then-pairwise shape maps here to LSH buckets (same
+    role: bound the pair space) + the engine's CC operator; all three
+    stages are independently oracle-checked elsewhere, and this
+    composition is value-checked end-to-end (DuckDB rebuilds buckets,
+    cosines, and components via its recursive reachability CTE)."""
+    from ccnet_spark_spark.operators.graph import dup_clusters
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).where(
+        F.col("vec_id") < 200
+    )
+    pairs = similarity.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4, dim=64
+    )
+    labeled = dup_clusters(emb.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id")
+    return labeled.where(F.col("cluster") == F.col("vec_id")).select("vec_id")
+
+
 def q_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (scale path). Approximate
     vs brute force, but fully DETERMINISTIC given the seeded hyperplanes —
@@ -2270,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- the window and share the same operators+fixtures)
         "dup_passage_stats": _wrap(q_dup_passage_stats),  # new in r4
         "bpe_vocab": _wrap(q_bpe_vocab),  # new in r4
+        "semdedup": _wrap(q_semdedup),  # new in r4 (composes 3 checked stages)
         "exact_dedup": _wrap(q_exact_dedup),
         "rollup": _wrap(q_rollup),
         "hash_sample": _wrap(q_hash_sample),
@@ -2644,6 +2669,22 @@ def oracle_sql() -> dict[str, str]:
             "select a.image_id as id_a, b.image_id as id_b, " + cos + " as cosine "
             "from bk a join bk b using (bucket) where a.image_id < b.image_id) "
             "where cosine >= 0.9999"
+        ),
+        "semdedup": (
+            "with recursive bk as (select vec_id, embedding, "
+            + similarity.lsh_bucket_sql("embedding", similarity.hyperplanes(64, 4))
+            + " as bucket from embeddings where vec_id < 200), "
+            "cand as (select a.vec_id as id_a, b.vec_id as id_b "
+            "from bk a join bk b using (bucket) "
+            "where a.vec_id < b.vec_id and " + cos + " >= 0.3), "
+            "edges as (select id_a as u, id_b as v from cand "
+            "union select id_b as u, id_a as v from cand), "
+            "reach as (select u as node, v as r from edges "
+            "union select e.u as node, reach.r from edges e join reach on e.v = reach.node), "
+            "lbl as (select node, least(min(r), node) as cluster from reach group by node) "
+            "select e.vec_id from (select vec_id from embeddings where vec_id < 200) e "
+            "left join lbl on lbl.node = e.vec_id "
+            "where coalesce(lbl.cluster, e.vec_id) = e.vec_id"
         ),
         "emb_neardup_lsh": (
             "with bk as (select vec_id, embedding, "
