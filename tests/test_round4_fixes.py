@@ -278,6 +278,20 @@ def test_pairs_datasource_partitions_and_parity(spark):
     assert a == b
 
 
+def test_stream_reader_replay_path():
+    """readBetweenOffsets (failure-recovery replay) must regenerate exactly
+    the rows the original read() emitted for that offset range — no Spark
+    needed, the reader is a plain object."""
+    from ccnet_spark_spark.sources.pairs_source import PairsStreamReader
+
+    r = PairsStreamReader({"n": "100", "rows_per_batch": "25"})
+    replay = list(r.readBetweenOffsets({"pos": 10}, {"pos": 15}))
+    assert [row[0] for row in replay] == [f"img{i:010d}" for i in range(10, 15)]
+    normal, end = r.read({"pos": 10})
+    assert replay == list(normal)[:5]
+    assert end == {"pos": 35}
+
+
 def test_pipeline_passage_trim_step(spark):
     """Opt-in passage_trim stage: corpus-duplicated token runs vanish from
     dedup_caption, `length` is recomputed, and with the flag OFF the output
