@@ -97,8 +97,24 @@ class StagedParquetWriter(DataSourceWriter):
         import os
         import shutil
 
+        # overwrite semantics: snapshot the pre-existing data files BEFORE
+        # publishing, publish the new ones, then drop the old set — readers
+        # see old-complete, mixed-for-an-instant-at-file-granularity, or
+        # new-complete, and a crash after publish leaves a superset that the
+        # next overwrite clears (append mode skips the delete entirely)
+        old = (
+            [
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet")
+            ]
+            if self.overwrite
+            else []
+        )
         for m in messages:
             os.rename(m.staged, os.path.join(self.path, os.path.basename(m.staged)))
+        for f in old:
+            os.remove(f)
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass

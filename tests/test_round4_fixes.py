@@ -278,6 +278,28 @@ def test_pairs_datasource_partitions_and_parity(spark):
     assert a == b
 
 
+def test_custom_sink_overwrite_and_append_modes(spark, tmp_path):
+    """mode('overwrite') must replace the previous contents (old data files
+    dropped at commit); mode('append') must accumulate."""
+    import os
+
+    import __spark_entry__ as em
+    from ccnet_spark_spark.sources.pairs_source import PairsDataSource
+
+    em._ensure_pkg(spark)
+    spark.dataSource.register(PairsDataSource)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    a = spark.range(10).selectExpr("id", "cast(id as string) as v")
+    b = spark.range(100, 105).selectExpr("id", "cast(id as string) as v")
+    a.write.format("ccnet_pairs").option("path", out).mode("append").save()
+    b.write.format("ccnet_pairs").option("path", out).mode("append").save()
+    assert spark.read.parquet(out).count() == 15  # append accumulates
+    b.write.format("ccnet_pairs").option("path", out).mode("overwrite").save()
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == [100, 101, 102, 103, 104]  # overwrite replaced everything
+
+
 def test_stream_reader_replay_path():
     """readBetweenOffsets (failure-recovery replay) must regenerate exactly
     the rows the original read() emitted for that offset range — no Spark
