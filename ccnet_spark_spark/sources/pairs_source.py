@@ -87,10 +87,16 @@ class StagedParquetWriter(DataSourceWriter):
 
         import pandas as pd
 
+        rows = list(iterator)
+        if not rows:
+            # an empty pandas frame would be written with null-typed columns
+            # (object dtype with no values), poisoning schema merge on read —
+            # empty partitions contribute no file
+            return _FileCommit("")
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
         staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
-        pd.DataFrame(list(iterator), columns=self.names).to_parquet(staged, index=False)
+        pd.DataFrame(rows, columns=self.names).to_parquet(staged, index=False)
         return _FileCommit(staged)
 
     def commit(self, messages) -> None:
@@ -112,7 +118,8 @@ class StagedParquetWriter(DataSourceWriter):
             else []
         )
         for m in messages:
-            os.rename(m.staged, os.path.join(self.path, os.path.basename(m.staged)))
+            if m.staged:  # empty partitions staged nothing
+                os.rename(m.staged, os.path.join(self.path, os.path.basename(m.staged)))
         for f in old:
             os.remove(f)
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -298,6 +298,15 @@ def test_custom_sink_overwrite_and_append_modes(spark, tmp_path):
     b.write.format("ccnet_pairs").option("path", out).mode("overwrite").save()
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == [100, 101, 102, 103, 104]  # overwrite replaced everything
+    # empty partitions contribute no file (a null-typed parquet from an
+    # empty pandas frame would poison schema merge on read)
+    sparse = spark.range(3).repartition(8).selectExpr("id", "cast(id as string) as v")
+    out2 = str(tmp_path / "sink_sparse")
+    os.makedirs(out2)
+    sparse.write.format("ccnet_pairs").option("path", out2).mode("append").save()
+    assert spark.read.parquet(out2).count() == 3
+    n_files = sum(1 for f in os.listdir(out2) if f.endswith(".parquet"))
+    assert n_files <= 3  # at most one file per non-empty partition
 
 
 def test_stream_reader_replay_path():
