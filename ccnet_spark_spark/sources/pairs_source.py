@@ -196,6 +196,10 @@ class PairsReader(DataSourceReader):
         self.seed = int(options.get("seed", 0) or 0) or None
 
     def partitions(self):
+        if self.n <= 0:
+            # empty relation still needs one (empty) partition — range step 0
+            # would raise, and Spark expects >= 1 InputPartition
+            return [RangePartition(0, 0, self.seed or 0)]
         per = -(-self.n // self.n_parts)
         return [
             RangePartition(lo, min(lo + per, self.n), self.seed or 0)
