@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "incremental_dedup_bloom",
     "dup_passages",
+    "dup_passage_trim",
+    "semdedup",
     "selfcal_bucket",
     "quality_chain",
     "corpus_build",
