@@ -1736,6 +1736,25 @@ def q_bpe_vocab(spark, sf_dir):
     return vocab
 
 
+def q_bpe_train_batched(spark, sf_dir):
+    """BATCHED BPE training (operators/bpe.py, batch_size=16): the
+    real-scale trainer shape — a 30k-merge production train is 30k
+    sequential driver-loop Spark jobs at one merge per round, but ~30k/16
+    with per-round greedy symbol-disjoint batches (disjointness keeps
+    every recorded pair count exact; see module docstring). 128 merges
+    requested; the 31-word synthetic vocab exhausts at ~90, which the
+    trainer and the fixture handle identically. Oracle: the independent
+    pure-Python fixture implementing the SAME batched schedule pins the
+    full merge table — order, pairs, weighted counts."""
+    from ccnet_spark_spark.operators import bpe
+
+    _assert_fixture_sf(sf_dir)
+    merges, _vocab = bpe.train_bpe(
+        spark, _docs(spark, sf_dir), "text", num_merges=128, batch_size=16
+    )
+    return merges
+
+
 def q_pairs_source(spark, sf_dir):
     """Spark-4 Python DataSource ingestion — the native mapping of the
     reference's custom segment-download source (S1, pipe_load.py): a
@@ -2233,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cutoff_train": _wrap(q_cutoff_train),
         "selfcal_bucket": _wrap(q_selfcal_bucket),
         "bpe_train": _wrap(q_bpe_train),  # new in r4
+        "bpe_train_batched": _wrap(q_bpe_train_batched),  # new in r5
         # --- hygiene / sampling / packing ---
         "decontaminate": _wrap(q_decontaminate),
         "incremental_dedup": _wrap(q_incremental_dedup),
@@ -2653,6 +2673,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_vocab": (
             f"select word, symbols, freq from read_parquet('{_sf_fixture('bpe_vocab')}')"
+        ),
+        "bpe_train_batched": (
+            f'select rank, "left", "right", merged, pair_count '
+            f"from read_parquet('{_sf_fixture('bpe_merges_b16')}')"
         ),
         # drained availableNow stream == the first 200 fixture rows
         "pairs_source_stream": (

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iterations: int = 25
@@ -43,6 +45,7 @@ def connected_components(
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     changed = 1
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iterations):
         neigh = (
             sym.join(labels, sym.v == labels.node)
@@ -61,6 +64,12 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        # `new` is materialized (eager localCheckpoint): release the prior
+        # round's label blocks so storage holds one label copy, not one
+        # per round (same cleanup as the BPE trainer)
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt = new
         changed = new.where(F.col("lbl") != F.col("_prev")).limit(1).count()
         labels = new.select("node", "lbl")
         if changed == 0:

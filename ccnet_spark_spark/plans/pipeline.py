@@ -118,6 +118,11 @@ class Pipeline:
         if cfg.passage_trim:
             from ..operators import passages as passages_op
 
+            # `enriched` feeds BOTH trim_duplicate_passages and the left
+            # side of the re-join below — without a checkpoint the whole
+            # upstream subtree (line dedup, regroup) is planned and
+            # executed twice (same double-execution corpus_build fixed)
+            enriched = enriched.localCheckpoint()
             trimmed = passages_op.trim_duplicate_passages(
                 enriched, id_col, "dedup_caption", gram_n=cfg.passage_gram_n
             )

@@ -36,6 +36,22 @@ def iceberg_configured() -> bool:
     return bool(jars) or bool(os.environ.get("SPARK_GRAFT_ICEBERG_JAR"))
 
 
+def release_local_checkpoint(df) -> None:
+    """Free the executor storage blocks behind a DataFrame returned by
+    `localCheckpoint()`. `Dataset.unpersist()` only clears cache-manager
+    entries — NOT the checkpointed RDD's blocks (verified empirically:
+    `getRDDStorageInfo` still lists them afterwards); without this the
+    blocks live until the JVM-side Dataset is garbage-collected, so an
+    iterative trainer (BPE, connected components) accumulates one full
+    vocab/label copy per round for the life of the session. Reaches the
+    LogicalRDD's backing rdd through the query execution; best-effort
+    (silent no-op when the plan isn't a checkpointed LogicalRDD)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _submitted_conf():
     """SparkConf carrying whatever spark-submit configured.
 

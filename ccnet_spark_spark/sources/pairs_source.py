@@ -74,12 +74,20 @@ class StagedParquetWriter(DataSourceWriter):
     committer / Iceberg snapshot commit), here visible end-to-end."""
 
     def __init__(self, options, schema, overwrite: bool):
+        import os
+        import uuid
+
         path = options.get("path")
         if not path:
             raise ValueError("ccnet_pairs writer requires .option('path', ...)")
         self.path = path
         self.names = schema.names
         self.overwrite = overwrite
+        # per-WRITE staging dir (uuid minted on the driver, rides the
+        # pickled writer instance to every task): two concurrent writes to
+        # the same target path stage into disjoint dirs, so one job's
+        # commit/abort cleanup can never delete the other's staged files
+        self.staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
 
     def write(self, iterator) -> _FileCommit:
         import os
@@ -93,9 +101,8 @@ class StagedParquetWriter(DataSourceWriter):
             # (object dtype with no values), poisoning schema merge on read —
             # empty partitions contribute no file
             return _FileCommit("")
-        staging = os.path.join(self.path, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
         pd.DataFrame(rows, columns=self.names).to_parquet(staged, index=False)
         return _FileCommit(staged)
 
@@ -103,6 +110,9 @@ class StagedParquetWriter(DataSourceWriter):
         import os
         import shutil
 
+        # a fully-empty write stages nothing, so the target dir may not
+        # exist yet — the commit still has to publish _SUCCESS into it
+        os.makedirs(self.path, exist_ok=True)
         # overwrite semantics: snapshot the pre-existing data files BEFORE
         # publishing, publish the new ones, then drop the old set — readers
         # see old-complete, mixed-for-an-instant-at-file-granularity, or
@@ -122,14 +132,16 @@ class StagedParquetWriter(DataSourceWriter):
                 os.rename(m.staged, os.path.join(self.path, os.path.basename(m.staged)))
         for f in old:
             os.remove(f)
-        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        shutil.rmtree(self.staging, ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages) -> None:
         import shutil
 
-        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        # only THIS write's staging dir — a concurrent write to the same
+        # path keeps its own staged files
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class PairsStreamReader(SimpleDataSourceStreamReader):

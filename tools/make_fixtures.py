@@ -306,16 +306,24 @@ def make_image_embedding_expected(n: int = 200, plant: int = 10, dim: int = 64) 
     print(f"image_embed200_expected.parquet: {len(out)} rows")
 
 
-def make_bpe_expected(sf_dir: str, num_merges: int = 16) -> None:
+def make_bpe_expected(
+    sf_dir: str, num_merges: int = 16, batch_size: int = 1, suffix: str = ""
+) -> None:
     """Expected BPE trainer output per sf — an INDEPENDENT pure-Python BPE
     (Counter over symbol tuples, explicit merge loop): same spec as
     operators/bpe.py (freq-weighted pair counts, winner = max count then
     lexical pair, leftmost-greedy merge) but sharing no dataflow with the
-    Spark implementation. Writes bpe_merges_<sf>.parquet and
-    bpe_vocab_<sf>.parquet."""
+    Spark implementation. batch_size > 1 implements the trainer's BATCHED
+    schedule: per round sort pairs by (count desc, left, right), truncate
+    to the candidate window max(64, 8*batch_size), greedily select up to
+    batch_size pairs whose {left, right, merged} collide with no
+    already-selected pair's, apply in selection order (batch_size=1 is
+    classic BPE). Writes bpe_merges<suffix>_<sf>.parquet and
+    bpe_vocab<suffix>_<sf>.parquet."""
     import re
     from collections import Counter
 
+    candidate_window = max(64, 8 * batch_size)
     sfname = os.path.basename(sf_dir.rstrip("/"))
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))["text"]
     vocab = Counter()
@@ -325,7 +333,7 @@ def make_bpe_expected(sf_dir: str, num_merges: int = 16) -> None:
                 vocab[w] += 1
     words = {w: tuple(w) for w in vocab}
     merges = []
-    for rank in range(num_merges):
+    while len(merges) < num_merges:
         pc = Counter()
         for w, syms in words.items():
             f = vocab[w]
@@ -333,30 +341,41 @@ def make_bpe_expected(sf_dir: str, num_merges: int = 16) -> None:
                 pc[(a, b)] += f
         if not pc:
             break
-        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        merges.append(
-            {"rank": rank, "left": a, "right": b, "merged": a + b, "pair_count": cnt}
-        )
-        new_words = {}
-        for w, syms in words.items():
-            res, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                    res.append(a + b)
-                    i += 2
-                else:
-                    res.append(syms[i])
-                    i += 1
-            new_words[w] = tuple(res)
-        words = new_words
+        ordered = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[
+            :candidate_window
+        ]
+        batch, used = [], set()
+        for (a, b), cnt in ordered:
+            if len(batch) >= min(batch_size, num_merges - len(merges)):
+                break
+            if a in used or b in used or (a + b) in used:
+                continue
+            batch.append((a, b, cnt))
+            used.update((a, b, a + b))
+        for a, b, cnt in batch:
+            merges.append(
+                {"rank": len(merges), "left": a, "right": b, "merged": a + b, "pair_count": cnt}
+            )
+            new_words = {}
+            for w, syms in words.items():
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new_words[w] = tuple(res)
+            words = new_words
     m = pd.DataFrame(merges)
     m["rank"] = m["rank"].astype("int32")
-    m.to_parquet(os.path.join(FIXTURES, f"bpe_merges_{sfname}.parquet"), index=False)
+    m.to_parquet(os.path.join(FIXTURES, f"bpe_merges{suffix}_{sfname}.parquet"), index=False)
     v = pd.DataFrame(
         [{"word": w, "symbols": " ".join(words[w]), "freq": vocab[w]} for w in sorted(words)]
     )
-    v.to_parquet(os.path.join(FIXTURES, f"bpe_vocab_{sfname}.parquet"), index=False)
-    print(f"bpe_merges/vocab_{sfname}.parquet: {len(m)} merges, {len(v)} words")
+    v.to_parquet(os.path.join(FIXTURES, f"bpe_vocab{suffix}_{sfname}.parquet"), index=False)
+    print(f"bpe_merges/vocab{suffix}_{sfname}.parquet: {len(m)} merges, {len(v)} words")
 
 
 def make_simhash_expected(sf_dir: str) -> None:
