@@ -23,6 +23,10 @@ Document-level (training-data additions, scale path for 100 TB):
 
 from __future__ import annotations
 
+# module-level so pandas-UDF type hints resolve under
+# `from __future__ import annotations` (stringified hints are looked up
+# in the DEFINING module's globals)
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -485,29 +489,98 @@ def build_bloom_words(hashes: DataFrame, hv_col: str, m_bits: int = 1 << 17, k: 
         .groupBy("_w")
         .agg(F.bit_or("_b").alias("_bits"))
     )
-    got = {r["_w"]: r["_bits"] for r in words.collect()}
-    return [got.get(w, 0) for w in range(m_bits // 64)]
+    # Arrow collect: a large filter (m=2^25 -> 524k words) takes minutes
+    # through row-by-row py4j collect() but <1 s via toPandas()
+    pdf = words.toPandas()
+    out = [0] * (m_bits // 64)
+    for w, b in zip(pdf["_w"].to_numpy(), pdf["_bits"].to_numpy()):
+        out[int(w)] = int(b)
+    return out
 
 
-def bloom_might_contain(df: DataFrame, hv_col: str, words: list[int], k: int = 5) -> DataFrame:
+# above this many 64-bit words the probe switches from a plan-literal to a
+# broadcast bit array (measured crossover, see bloom_might_contain)
+BLOOM_LITERAL_MAX_WORDS = 4096
+
+
+def bloom_might_contain(
+    df: DataFrame, hv_col: str, words: list[int], k: int = 5, strategy: str = "auto"
+) -> DataFrame:
     """Adds boolean `_bloom_hit`: False = DEFINITELY absent from the set the
     words were built over; True = maybe present (fpp false positives).
-    Pure scan-side expressions — the word array rides the plan as a literal
-    (fine for dev/bench-scale filters; a 10^12-scale bloom is broadcast
-    instead) and each of the k probes is element_at + shift + mask, so
-    codegen keeps the whole probe inside the scan stage."""
-    m_bits = len(words) * 64
-    arr = F.lit(words)
-    out = df
-    cond = F.lit(True)
-    for i in range(k):
-        out = out.withColumn(
-            f"_bp{i}", F.pmod(F.xxhash64(F.lit(i), F.col(hv_col)), F.lit(m_bits))
-        ).withColumn(f"_bw{i}", F.element_at(arr, (F.col(f"_bp{i}") / 64).cast("int") + 1))
-        # arithmetic >> is safe: & 1 masks away the sign-fill bits
-        cond = cond & (F.expr(f"(_bw{i} >> cast(_bp{i} % 64 as int)) & 1") == 1)
-    out = out.withColumn("_bloom_hit", cond)
-    return out.drop(*[c for i in range(k) for c in (f"_bp{i}", f"_bw{i}")])
+    The k bit positions are always computed JVM-side (F.xxhash64 —
+    bit-identical to the build); only the bit LOOKUP varies by bloom size:
+
+    - 'literal' (small blooms, the contract/dev scale): the bit array
+      rides the plan as ONE hex-string literal (words packed
+      little-endian, so bit `pos` lives at byte pos/8, bit pos%8; each
+      probe is substring + conv + shift + mask, all inside codegen, zero
+      Python). Measured probe cost is O(m) per row — UTF8String.substring
+      scans from the string start — so this path is capped at
+      BLOOM_LITERAL_MAX_WORDS (32 KiB of plan text). A 2048-element
+      array<long> literal instead costs ~1.3 s of plan overhead PER QUERY
+      (a 2048-node expression tree) and a from_json-folded array literal
+      evaluates even slower (measured 6-7 s / 100k rows) — the string
+      literal is the fastest plan-embedded form.
+    - 'broadcast' (large blooms): the words ship ONCE per executor as a
+      broadcast numpy int64 array and the lookup is a vectorized Arrow
+      UDF doing pure numpy gathers — measured ~0.3 s / 100k rows for a
+      2^25-bit bloom where the string literal takes minutes (the O(m)
+      substring scan) and a binary literal ~2.6 s (per-row slice+hex
+      allocation). This is the 10^12-scale shape: a GB-sized bloom can
+      never be a plan literal, and the gather is the same arithmetic
+      Spark's own runtime bloom pruning does JVM-side.
+    """
+    prebroadcast = hasattr(words, "value")  # a SparkContext.broadcast handle
+    n_words = len(words.value) if prebroadcast else len(words)
+    m_bits = n_words * 64
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if prebroadcast or n_words > BLOOM_LITERAL_MAX_WORDS
+            else "literal"
+        )
+    pos_cols = [
+        F.pmod(F.xxhash64(F.lit(i), F.col(hv_col)), F.lit(m_bits)) for i in range(k)
+    ]
+    if strategy == "literal":
+        import struct
+
+        wl = list(words.value) if prebroadcast else words
+        blob = b"".join(struct.pack("<q", int(w)) for w in wl).hex()
+        out = df.withColumn("_blob", F.lit(blob))
+        conds = []
+        for i, pc in enumerate(pos_cols):
+            out = out.withColumn(f"_bp{i}", pc)
+            conds.append(
+                f"((cast(conv(substring(_blob, cast(_bp{i} div 8 as int) * 2 + 1, 2), 16, 10) "
+                f"as int) >> cast(_bp{i} % 8 as int)) & 1) = 1"
+            )
+        out = out.withColumn("_bloom_hit", F.expr(" and ".join(conds)))
+        return out.drop("_blob", *[f"_bp{i}" for i in range(k)])
+
+    import numpy as np
+
+    # a reuse loop (one snapshot, many batches) should broadcast the words
+    # ONCE and pass the handle — re-broadcasting a 32 MiB array per batch
+    # is measurable overhead (tools/bench_bloom.py)
+    if prebroadcast:
+        bc = words
+    else:
+        bc = df.sparkSession.sparkContext.broadcast(np.array(words, dtype=np.int64))
+
+    @F.pandas_udf("boolean")
+    def _probe(pos_arr: pd.Series) -> pd.Series:
+        if len(pos_arr) == 0:
+            return pd.Series([], dtype=bool)
+        w = bc.value
+        m = np.stack(pos_arr.to_numpy())  # (rows, k) int64
+        # (x >> b) & 1 is sign-safe: arithmetic shift only pollutes bits
+        # ABOVE b, the mask ignores them
+        hit = (((w[m >> 6] >> (m & 63)) & 1) == 1).all(axis=1)
+        return pd.Series(hit)
+
+    return df.withColumn("_bloom_hit", _probe(F.array(*pos_cols)))
 
 
 def incremental_dedup_bloom(
@@ -518,6 +591,8 @@ def incremental_dedup_bloom(
     hash_algo: str = "sha2",
     m_bits: int = 1 << 17,
     k: int = 5,
+    words: list[int] | None = None,
+    corpus_hv_col: str | None = None,
 ) -> DataFrame:
     """Bloom-prefiltered cross-snapshot dedup — EXACTLY the output of
     incremental_dedup (the bloom is an accelerator, not an approximation),
@@ -527,22 +602,45 @@ def incremental_dedup_bloom(
     whole new batch even though typically <1 % of it collides. Here a Bloom
     filter built over the corpus hash projection (one narrow aggregation,
     build_bloom_words) splits the batch on the scan: rows whose hash misses
-    the bloom are definitely new and BYPASS the join entirely; only the
-    might-contain sliver (true dups + ~fpp false positives) pays the exact
-    anti-join, which also corrects every false positive. Both paths union
-    and keep-min dedup within the batch, identical to the exact operator.
-    This is the standard bloom-prefilter ingestion shape (Iceberg/Delta
-    MERGE implementations do the same with file-level bloom/minmax)."""
+    the bloom are definitely new and BYPASS every join; the might-contain
+    sliver (true dups + ~fpp false positives) pays the exact check, which
+    also corrects every false positive. The sliver check never shuffles
+    the corpus: the sliver's distinct hashes broadcast into a semi-join
+    that extracts the (sliver-sized) set of truly-committed hashes, which
+    broadcasts back into the sliver anti-join — the corpus is only ever
+    SCANNED, exactly like the bloom build. (Premise: sliver << corpus;
+    with a high-dup batch use incremental_dedup, whose anti-join is then
+    no worse.) Both paths union and keep-min dedup within the batch,
+    identical to the exact operator. This is the standard bloom-prefilter
+    ingestion shape (Iceberg/Delta MERGE implementations do the same with
+    file-level bloom/minmax).
+
+    words: prebuilt bloom (build_bloom_words) — the production ingestion
+    loop builds ONCE per committed snapshot and reuses across batches.
+    corpus_hv_col: name of a precomputed hash column on `corpus` (the
+    committed hash SIDECAR, as tools/bench_bloom.py uses) — at scale the
+    corpus hash projection is stored, not recomputed from text per batch."""
     def hashed(df: DataFrame) -> Column:
         return hashing.line_hash_expr(normalize_for_dedup_expr(F.col(text_col)), algo=hash_algo)
 
     batch_h = batch.withColumn("_hv", hashed(batch))
-    corpus_h = corpus.select(hashed(corpus).alias("_hv"))
-    words = build_bloom_words(corpus_h, "_hv", m_bits=m_bits, k=k)
+    if corpus_hv_col is not None:
+        corpus_h = corpus.select(F.col(corpus_hv_col).alias("_hv"))
+    else:
+        corpus_h = corpus.select(hashed(corpus).alias("_hv"))
+    if words is None:
+        words = build_bloom_words(corpus_h, "_hv", m_bits=m_bits, k=k)
     probed = bloom_might_contain(batch_h, "_hv", words, k=k)
+    # probed feeds THREE plan branches (definitely-new, the sliver, and
+    # the sliver's broadcast distinct) — materialize once or the batch
+    # scan + probe run three times per call (measured in bench_bloom)
+    probed = probed.localCheckpoint()
     definitely_new = probed.where(~F.col("_bloom_hit")).drop("_bloom_hit")
     maybe = probed.where(F.col("_bloom_hit")).drop("_bloom_hit")
-    checked = maybe.join(corpus_h, "_hv", "left_anti")
+    committed = corpus_h.join(
+        F.broadcast(maybe.select("_hv").distinct()), "_hv", "left_semi"
+    )
+    checked = maybe.join(F.broadcast(committed), "_hv", "left_anti")
     fresh = definitely_new.unionByName(checked)
     keep_min = fresh.groupBy("_hv").agg(F.min(F.col(id_col)).alias(id_col)).select(id_col)
     return batch.join(keep_min, id_col, "left_semi")
@@ -554,6 +652,7 @@ def incremental_dedup(
     id_col: str,
     text_col: str,
     hash_algo: str = "sha2",
+    corpus_hv_col: str | None = None,
 ) -> DataFrame:
     """Cross-snapshot exact dedup: drop new-batch documents whose normalized
     text hash already exists in the ingested corpus — the ingestion-time
@@ -562,12 +661,16 @@ def incremental_dedup(
     against everything already committed, touching only the NEW batch plus
     one hash-projection scan of the corpus (never re-deduping the corpus
     against itself). Also dedups within the batch (keep-min), so the result
-    is append-ready."""
+    is append-ready. corpus_hv_col: precomputed hash column on `corpus`
+    (the committed hash sidecar) instead of re-hashing corpus text."""
     def hashed(df: DataFrame) -> Column:
         return hashing.line_hash_expr(normalize_for_dedup_expr(F.col(text_col)), algo=hash_algo)
 
     batch_h = batch.withColumn("_hv", hashed(batch))
-    corpus_h = corpus.select(hashed(corpus).alias("_hv"))
+    if corpus_hv_col is not None:
+        corpus_h = corpus.select(F.col(corpus_hv_col).alias("_hv"))
+    else:
+        corpus_h = corpus.select(hashed(corpus).alias("_hv"))
     fresh = batch_h.join(corpus_h, "_hv", "left_anti")
     keep_min = fresh.groupBy("_hv").agg(F.min(F.col(id_col)).alias(id_col)).select(id_col)
     return batch.join(keep_min, id_col, "left_semi")

@@ -113,6 +113,14 @@ class StagedParquetWriter(DataSourceWriter):
         # a fully-empty write stages nothing, so the target dir may not
         # exist yet — the commit still has to publish _SUCCESS into it
         os.makedirs(self.path, exist_ok=True)
+        # fault-injection point (crash-recovery tests): the commit planner
+        # runs in a separate Python worker process, so tests inject the
+        # "died after staging, before publishing" failure through the
+        # filesystem — the marker is consumed so exactly ONE attempt dies
+        crash = os.path.join(self.path, "_FAULT_CRASH_COMMIT")
+        if os.path.exists(crash):
+            os.rename(crash, os.path.join(self.path, "_FAULT_CRASH_DONE"))
+            raise RuntimeError("injected fault: crashed between staging and commit")
         # overwrite semantics: snapshot the pre-existing data files BEFORE
         # publishing, publish the new ones, then drop the old set — readers
         # see old-complete, mixed-for-an-instant-at-file-granularity, or
