@@ -371,14 +371,22 @@ def q_pp_bucket(spark, sf_dir):
 
 
 def q_rollup(spark, sf_dir):
-    # A3: per-(lang, source) metrics rollup
+    # A3: per-(lang, source) metrics rollup. avg_chars is rounded via
+    # INTEGER arithmetic — floor((sum*200 + n) / (2n)) / 100 is exact
+    # half-up rounding of sum*100/n — because round(avg(..), 2) diverges
+    # between engines at .xx5 boundaries (Spark rounds the decimal string
+    # of the double half-up; DuckDB rounds the binary value: 92968/320 =
+    # 290.525 -> 290.53 vs 290.52, found by the sf1 sweep).
     return (
         _docs(spark, sf_dir)
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .withColumn(
+            "avg_chars",
+            F.expr("cast((sum_chars * 200 + n_docs) div (2 * n_docs) as double) / 100"),
         )
     )
 
@@ -2560,9 +2568,12 @@ def oracle_sql() -> dict[str, str]:
         # bigint casts on integer aggregates throughout: DuckDB returns
         # integer sum()/windowed sum() as HUGEINT -> pandas float64, which
         # hash-mismatches Spark's int64 despite identical values.
+        # avg via integer half-up rounding — round(avg, 2) on doubles
+        # diverges between engines at .xx5 boundaries (see q_rollup)
         "rollup": (
             "select lang, source, count(*) as n_docs, cast(sum(n_chars) as bigint) as sum_chars, "
-            "round(avg(n_chars), 2) as avg_chars from documents group by lang, source"
+            "cast((sum(n_chars) * 200 + count(*)) // (2 * count(*)) as double) / 100 as avg_chars "
+            "from documents group by lang, source"
         ),
         "topk_per_lang": (
             "select lang, doc_id, n_chars, "
