@@ -3251,8 +3251,13 @@ def oracle_sql() -> dict[str, str]:
             "where image_id < 'img0000000200'"
         ),
         "simhash": (
-            f"select doc_id, simhash from read_parquet('{_simhash_fixture()}') "
-            "where doc_id < 100000"
+            # Semijoin against the live documents view rather than an id
+            # cutoff: the fixture holds corpus docs PLUS the 40 planted
+            # rows (bands 100000+/200000+), and an id predicate breaks on
+            # sf dirs whose replica scheme uses large offsets (sf1 ids go
+            # up to 9e7 — a `< 100000` cut kept only replica 0).
+            f"select f.doc_id, f.simhash from read_parquet('{_simhash_fixture()}') f "
+            "join documents d on f.doc_id = d.doc_id"
         ),
         "phash_neardup": (
             f"with base as (select image_id, phash from "
