@@ -39,6 +39,7 @@ from ccnet_spark_spark.functions.normalize import (
 )
 from ccnet_spark_spark.functions.scrub import scrub_expr, scrub_sql
 from ccnet_spark_spark.operators import bucket as bucket_op
+from ccnet_spark_spark.operators import image_quality as image_quality_op
 from ccnet_spark_spark.operators import chunk as chunk_op
 from ccnet_spark_spark.operators import (
     dedup,
@@ -1675,6 +1676,19 @@ def q_image_stats(spark, sf_dir):
     return image_stats(generate_pairs(spark, 200))
 
 
+def q_image_quality_gates(spark, sf_dir):
+    """LAION/DataComp-style image+caption quality gates (min resolution,
+    aspect bound, format allowlist, payload-size sanity, caption
+    length/word/digit heuristics) as pure built-in expressions — zero
+    decode, zero Python (operators/image_quality.py). Oracle = the SQL
+    CASE-chain twin over the shared-input metadata fixture
+    (pairs400_meta.parquet: n_bytes stands in for length(bytes))."""
+    from ccnet_spark_spark.operators.image_quality import image_quality_gates
+    from ccnet_spark_spark.synth import generate_pairs
+
+    return image_quality_gates(generate_pairs(spark, 400))
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame sampling: 60 deterministic concatenated-ppm videos
     demuxed by walking frame headers in mapInPandas, every 2nd frame
@@ -2288,7 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal, sources, streaming) — a larger cross-section than r4
     # kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 105 contract queries.
+    # r1-r5 driver-recorded keys covers all 106 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -2298,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _wrap(q_semdedup),  # parked in r4, rotated in
         "bpe_train_batched": _wrap(q_bpe_train_batched),  # new in r5
         "corpus_build_trim": _wrap(q_corpus_build_trim),  # new in r5
+        "image_quality_gates": _wrap(q_image_quality_gates),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -2320,7 +2335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_ngrams": _wrap(q_gopher_ngrams),
         "gopher_rules": _wrap(q_gopher_rules),
         "c4_filters": _wrap(q_c4_filters),
-        "minhash_pairs": _wrap(q_minhash_pairs),
         "minhash_dedup": _wrap(q_minhash_dedup),
         "lsh_then_jaccard": _wrap(q_lsh_then_jaccard),
         "simhash_neardup": _wrap(q_simhash_neardup),
@@ -2348,6 +2362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- position > 50: checked by tools/check_oracle.py
         # ---------------- every round; all have at least one
         # ---------------- driver-recorded green row from rounds 1-4
+        "minhash_pairs": _wrap(q_minhash_pairs),  # rotated below in r5 (family
+        # still in-window via minhash_dedup + lsh_then_jaccard) to make room
+        # for image_quality_gates
         "gopher_lines": _wrap(q_gopher_lines),
         "selfcal_bucket": _wrap(q_selfcal_bucket),
         "incremental_dedup": _wrap(q_incremental_dedup),
@@ -3235,6 +3252,9 @@ def oracle_sql() -> dict[str, str]:
         # bit math, so the fixture carries the recomputed values.
         "image_stats": (
             f"select * from read_parquet('{_fixture('image_stats200_expected.parquet')}')"
+        ),
+        "image_quality_gates": image_quality_op.image_quality_gates_sql(
+            f"read_parquet('{_fixture('pairs400_meta.parquet')}')"
         ),
         "frame_sample": (
             f"select * from read_parquet('{_fixture('frame_sample_expected.parquet')}')"

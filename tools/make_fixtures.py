@@ -148,6 +148,21 @@ def make_source_formats(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"documents_sf001.{{jsonl,csv,orc}}: {len(docs)} rows each")
 
 
+def make_pairs_meta(n: int = 400) -> None:
+    """(image_id, w, h, fmt, n_bytes, caption) for the 400-pair corpus —
+    the q_image_quality_gates oracle runs the SQL CASE-chain twin over
+    this metadata (n_bytes stands in for length(bytes); the INPUT is
+    shared like pairs400_input, the gate TRANSFORM is what the DuckDB
+    twin re-expresses independently)."""
+    from ccnet_spark_spark.synth import gen_pandas
+
+    df = gen_pandas(0, n)
+    df["n_bytes"] = df["bytes"].map(len)
+    df = df[["image_id", "w", "h", "fmt", "n_bytes", "caption"]]
+    df.to_parquet(os.path.join(FIXTURES, "pairs400_meta.parquet"), index=False)
+    print(f"pairs400_meta.parquet: {len(df)} rows")
+
+
 def make_keepdrop_labels(n: int = 400) -> None:
     """Expected keep/drop labels for the 400-pair corpus, computed by the
     single-node pandas oracle (tests/oracle_pandas.py — shares the stub
@@ -406,6 +421,7 @@ def make_simhash_expected(sf_dir: str) -> None:
 if __name__ == "__main__":
     make_pairs_input()
     make_pairs_phash()
+    make_pairs_meta()
     make_keepdrop_labels()
     make_source_formats()
     make_frame_sample_expected()
