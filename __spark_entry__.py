@@ -1689,6 +1689,22 @@ def q_image_quality_gates(spark, sf_dir):
     return image_quality_gates(generate_pairs(spark, 400))
 
 
+def q_caption_alignment(spark, sf_dir):
+    """CLIP-score-style caption-image alignment filter (the LAION keep
+    rule) over 200 pairs: image tower = decode->8x8-gray embed, caption
+    tower = signed hashed bag-of-words (operators/multimodal.py), cosine
+    + threshold JVM-side. Oracle = DuckDB recomputes the cosine from the
+    two INDEPENDENT-reimplementation embedding fixtures (image: decoder
+    re-implementation; caption: dict-accumulation re-implementation) —
+    whitespace-only captions give a zero vector and alignment NULL on
+    both sides (Spark guards the zero denominator pre-division — ANSI
+    mode raises on 0/0; DuckDB 0/0 -> NULL natively)."""
+    from ccnet_spark_spark.operators.multimodal import caption_image_alignment
+    from ccnet_spark_spark.synth import generate_pairs
+
+    return caption_image_alignment(generate_pairs(spark, 200), tau=0.1)
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame sampling: 60 deterministic concatenated-ppm videos
     demuxed by walking frame headers in mapInPandas, every 2nd frame
@@ -2302,7 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal, sources, streaming) — a larger cross-section than r4
     # kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 106 contract queries.
+    # r1-r5 driver-recorded keys covers all 107 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -2313,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_batched": _wrap(q_bpe_train_batched),  # new in r5
         "corpus_build_trim": _wrap(q_corpus_build_trim),  # new in r5
         "image_quality_gates": _wrap(q_image_quality_gates),  # new in r5
+        "caption_alignment": _wrap(q_caption_alignment),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -2348,7 +2365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _wrap(q_hash_sample),
         "tfidf_topk": _wrap(q_tfidf_topk),
         "inverted_index": _wrap(q_inverted_index),
-        "lsh_ann": _wrap(q_lsh_ann),
         "ivf_exhaustive": _wrap(q_ivf_exhaustive),
         "image_stats": _wrap(q_image_stats),
         "image_embed_neardup": _wrap(q_image_embed_neardup),
@@ -2365,6 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _wrap(q_minhash_pairs),  # rotated below in r5 (family
         # still in-window via minhash_dedup + lsh_then_jaccard) to make room
         # for image_quality_gates
+        "lsh_ann": _wrap(q_lsh_ann),  # rotated below in r5 (ANN family still
+        # in-window via ivf_exhaustive) to make room for caption_alignment
         "gopher_lines": _wrap(q_gopher_lines),
         "selfcal_bucket": _wrap(q_selfcal_bucket),
         "incremental_dedup": _wrap(q_incremental_dedup),
@@ -2775,6 +2793,17 @@ def oracle_sql() -> dict[str, str]:
             "select e.vec_id from (select vec_id from embeddings where vec_id < 200) e "
             "left join lbl on lbl.node = e.vec_id "
             "where coalesce(lbl.cluster, e.vec_id) = e.vec_id"
+        ),
+        "caption_alignment": (
+            # a = image tower fixture (independent decoder), b = caption
+            # tower fixture (independent accumulator); zero caption vector
+            # -> 0/0 -> NULL alignment in DuckDB, matching Spark's
+            # NaN->NULL guard. coalesce makes those rows aligned=false.
+            "select a.image_id, " + cos + " as alignment, "
+            "coalesce(" + cos + " >= 0.1, false) as aligned "
+            f"from read_parquet('{_fixture('image_embed200_expected.parquet')}') a "
+            f"join read_parquet('{_fixture('caption_embed200_expected.parquet')}') b "
+            "using (image_id) where a.image_id not like '%\\_dup' escape '\\'"
         ),
         "emb_neardup_lsh": (
             "with bk as (select vec_id, embedding, "

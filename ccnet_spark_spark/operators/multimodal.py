@@ -16,6 +16,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .. import codecs
 
@@ -116,6 +117,64 @@ def image_embedding(df: DataFrame, dim: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=EMBED_SCHEMA)
+
+
+def caption_embedding(df: DataFrame, dim: int = 64, text_col: str = "caption") -> DataFrame:
+    """Deterministic fake text encoder: hashed bag-of-words with signs
+    (feature hashing). Spec, fixed so an independent re-implementation is
+    bit-identical (tools/make_fixtures.py):
+      tokens = caption.lower().split() (whitespace runs; NULL/empty -> all
+      zeros); per token d = blake2b(utf8, digest_size=8) as big-endian
+      uint64; bucket = d % dim; sign = +1 if ((d >> 6) & 1) == 0 else -1;
+      accumulate float32 counts; normalize v/(np.linalg.norm(v) or 1) in
+      float32. A real CLIP text tower slots in behind the same signature."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, caption in zip(pdf["image_id"], pdf[text_col]):
+                v = np.zeros(dim, dtype=np.float32)
+                for tok in (caption or "").lower().split():
+                    d = int.from_bytes(
+                        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+                    )
+                    v[d % dim] += 1.0 if ((d >> 6) & 1) == 0 else -1.0
+                n = float(np.linalg.norm(v)) or 1.0
+                rows.append({"image_id": img_id, "embedding": (v / n).astype(np.float32).tolist()})
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", text_col).mapInPandas(op, schema=EMBED_SCHEMA)
+
+
+def caption_image_alignment(pairs: DataFrame, tau: float = 0.1, dim: int = 64) -> DataFrame:
+    """CLIP-score-style caption-image alignment filter (the LAION keep
+    rule: drop pairs whose image and caption embeddings disagree). Both
+    towers are one Arrow crossing each over narrow projections (pixels
+    and text never meet in one Python batch); the cosine and the verdict
+    are JVM expressions. Equi-join on image_id — at 10^12 scale both
+    sides are co-partitioned outputs of the same scan, and AQE plans the
+    local join; no all-pairs shape anywhere. A pair with an empty/zero
+    caption vector gets alignment NULL and aligned=false (never NaN)."""
+    from .similarity import _dot, _norm
+
+    img = image_embedding(pairs, dim=dim).withColumnRenamed("embedding", "_iv")
+    cap = caption_embedding(pairs, dim=dim).withColumnRenamed("embedding", "_cv")
+    a = F.col("_iv").cast("array<double>")
+    b = F.col("_cv").cast("array<double>")
+    denom = _norm(a) * _norm(b)
+    # zero-norm guard BEFORE the division: ANSI mode (Spark 4 default)
+    # raises on 0/0 rather than producing NaN
+    alignment = F.when(denom != 0, F.round(_dot(a, b) / denom, 4))
+    return (
+        img.join(cap, "image_id")
+        .withColumn("alignment", alignment)
+        .select(
+            "image_id",
+            "alignment",
+            F.coalesce(F.col("alignment") >= tau, F.lit(False)).alias("aligned"),
+        )
+    )
 
 
 # ------------------------------------------------------ video / audio ops

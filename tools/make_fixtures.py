@@ -288,6 +288,36 @@ def _simhash_independent(tokens: list[str]) -> int:
     return out
 
 
+def make_caption_embedding_expected(n: int = 200, dim: int = 64) -> None:
+    """Expected caption embeddings for q_caption_alignment: an INDEPENDENT
+    re-implementation of the hashed bag-of-words spec (dict accumulation +
+    struct.unpack instead of the engine's numpy-indexed counts +
+    int.from_bytes; the normalize line is the numpy op the spec fixes, so
+    values are bit-identical like the image-embed fixture)."""
+    import hashlib
+    import struct
+
+    from ccnet_spark_spark.synth import gen_pandas
+
+    def embed(caption: str) -> list:
+        acc: dict[int, float] = {}
+        for tok in (caption or "").lower().split():
+            (d,) = struct.unpack(">Q", hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest())
+            acc[d % dim] = acc.get(d % dim, 0.0) + (1.0 if ((d >> 6) & 1) == 0 else -1.0)
+        v = np.array([acc.get(i, 0.0) for i in range(dim)], dtype=np.float32)
+        nrm = float(np.linalg.norm(v)) or 1.0
+        return (v / nrm).astype(np.float32).tolist()
+
+    pairs = gen_pandas(0, n)
+    out = pd.DataFrame(
+        [{"image_id": r["image_id"], "embedding": embed(r["caption"])} for _, r in pairs.iterrows()]
+    )
+    # zero vectors are LEGAL (whitespace-only captions): both engines map
+    # them to NULL alignment (Spark NaN->NULL guard; DuckDB 0/0 -> NULL)
+    out.to_parquet(os.path.join(FIXTURES, "caption_embed200_expected.parquet"), index=False)
+    print(f"caption_embed200_expected.parquet: {len(out)} rows")
+
+
 def make_image_embedding_expected(n: int = 200, plant: int = 10, dim: int = 64) -> None:
     """Expected image embeddings for the decode->embed->LSH-near-dup chain
     (q_image_embed_neardup): the 200-pair corpus PLUS planted exact-payload
@@ -429,6 +459,7 @@ if __name__ == "__main__":
     make_image_stats_expected()
     make_image_resize_expected()
     make_image_embedding_expected()
+    make_caption_embedding_expected()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join("/root/testdata", sf)
         if os.path.isdir(d):
