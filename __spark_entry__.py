@@ -1560,6 +1560,31 @@ def q_pairs_pipeline(spark, sf_dir):
     )
 
 
+def q_pairs_pipeline_gated(spark, sf_dir):
+    """The LAION composition order, value-checked end-to-end: image
+    metadata + caption gates FIRST (a pure scan predicate —
+    Config.image_gates), then the full caption pipeline over the
+    survivors. Gating precedes the GLOBAL line dedup, so dedup ownership
+    legitimately shifts vs the ungated run — the oracle reproduces the
+    same order by restricting the composed twin's input to the gate
+    survivors (gate twin over the metadata fixture)."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 400)
+    out = Pipeline(spark, Config(cutoffs=_cutoffs(), image_gates=True)).run(pairs)
+    return out.select(
+        "image_id",
+        "lang",
+        "bucket",
+        "keep",
+        "drop_reason",
+        "scrubbed_caption",
+        F.col("nlines").cast("double").alias("nlines"),
+        F.col("length").cast("double").alias("length"),
+    )
+
+
 def q_phash_neardup(spark, sf_dir):
     """IMAGE near-dup via perceptual hash: bucket the pairs table's phash
     column by its top 16 bits, verify candidates by popcount(xor) <= 8 —
@@ -2318,7 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal, sources, streaming) — a larger cross-section than r4
     # kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 107 contract queries.
+    # r1-r5 driver-recorded keys covers all 108 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -2330,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build_trim": _wrap(q_corpus_build_trim),  # new in r5
         "image_quality_gates": _wrap(q_image_quality_gates),  # new in r5
         "caption_alignment": _wrap(q_caption_alignment),  # new in r5
+        "pairs_pipeline_gated": _wrap(q_pairs_pipeline_gated),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -2341,7 +2367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_lines": _wrap(q_explode_lines),
         "min_len_filter": _wrap(q_min_len_filter),
         "lang_filter": _wrap(q_lang_filter),
-        "topk_per_lang": _wrap(q_topk_per_lang),
         "rollup": _wrap(q_rollup),
         "pairs_pipeline": _wrap(q_pairs_pipeline),
         "corpus_build": _wrap(q_corpus_build),
@@ -2383,6 +2408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for image_quality_gates
         "lsh_ann": _wrap(q_lsh_ann),  # rotated below in r5 (ANN family still
         # in-window via ivf_exhaustive) to make room for caption_alignment
+        "topk_per_lang": _wrap(q_topk_per_lang),  # rotated below in r5
+        # (relational family still in-window via min_len_filter /
+        # lang_filter) to make room for pairs_pipeline_gated
         "gopher_lines": _wrap(q_gopher_lines),
         "selfcal_bucket": _wrap(q_selfcal_bucket),
         "incremental_dedup": _wrap(q_incremental_dedup),
@@ -3257,6 +3285,16 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_chain": _ccnet_chain_sql(cutoffs),
         "ccnet_chain_lines": _ccnet_chain_lines_sql(cutoffs),
         "pairs_pipeline": _pairs_pipeline_sql(cutoffs),
+        "pairs_pipeline_gated": _pairs_pipeline_sql(
+            cutoffs,
+            input_where=(
+                "where image_id in (select image_id from ("
+                + image_quality_op.image_quality_gates_sql(
+                    f"read_parquet('{_fixture('pairs400_meta.parquet')}')"
+                )
+                + ") where keep)"
+            ),
+        ),
         "keepdrop_f1": (
             "with pred as (select image_id, keep from ("
             + _pairs_pipeline_sql(cutoffs)
@@ -3367,7 +3405,7 @@ def _ttl_hash(caption: str) -> str:
     return hashing.line_hash_sql(normalize_for_dedup_sql(f"'{caption}'"))
 
 
-def _pairs_pipeline_sql(cutoffs: dict[str, tuple[float, float]]) -> str:
+def _pairs_pipeline_sql(cutoffs: dict[str, tuple[float, float]], input_where: str = "") -> str:
     """Composed DuckDB twin of q_pairs_pipeline — the engine's NATIVE
     image+caption path oracle-checked end-to-end (VERDICT r2 #2): the input
     is the checked-in pandas twin of the deterministic pair generator
@@ -3383,7 +3421,7 @@ def _pairs_pipeline_sql(cutoffs: dict[str, tuple[float, float]]) -> str:
     lid_sub = models_mod.stub_lid_sql("regrouped", "dedup_caption", ["image_id", "nlines"])
     return (
         f"with base as (select image_id, caption, length(caption) as original_length "
-        f"from read_parquet('{_fixture('pairs400_input.parquet')}')), "
+        f"from read_parquet('{_fixture('pairs400_input.parquet')}') {input_where}), "
         "lines as (select image_id, generate_subscripts(arr, 1) - 1 as line_id, unnest(arr) as line "
         f"from (select image_id, string_split(caption, chr(10)) as arr from base "
         f"where original_length >= {DEFAULT_MIN_LEN})), "

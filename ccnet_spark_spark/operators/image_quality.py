@@ -66,12 +66,13 @@ def _nn(c: Column) -> Column:
     return F.coalesce(c, F.lit(False))
 
 
-def image_quality_gates(pairs: DataFrame, cfg: ImageGateConfig = ImageGateConfig()) -> DataFrame:
-    """pairs(image_id, bytes, w, h, fmt, caption, ...) -> one row per pair
-    with per-gate booleans, the fused keep verdict, and a first-failure
-    reason. Narrow projection: bytes participates only via length()."""
-    cap = F.col("caption")
-    gates = {
+def gate_map(cfg: ImageGateConfig = ImageGateConfig(), text_col: str = "caption") -> dict[str, Column]:
+    """The gate expressions by name (priority order = GATE_REASONS). Pure
+    Columns over (w, h, fmt, bytes, <text_col>) — usable as a labeled
+    projection (image_quality_gates) or directly as a scan filter
+    (plans/pipeline.py image_gates stage)."""
+    cap = F.col(text_col)
+    return {
         "dims_ok": _nn((F.col("w") >= cfg.min_w) & (F.col("h") >= cfg.min_h)),
         "aspect_ok": _nn(
             F.greatest("w", "h") * F.lit(cfg.aspect_den)
@@ -87,9 +88,22 @@ def image_quality_gates(pairs: DataFrame, cfg: ImageGateConfig = ImageGateConfig
         "caption_words_ok": _nn(textstats.token_count_expr(cap) >= cfg.caption_min_words),
         "digit_ok": _nn(textstats.digit_ratio_expr(cap) <= cfg.max_digit_ratio),
     }
+
+
+def keep_expr(cfg: ImageGateConfig = ImageGateConfig(), text_col: str = "caption") -> Column:
+    """Conjunction of all gates — a single scan-side filter predicate."""
     keep = None
-    for g in gates.values():
+    for g in gate_map(cfg, text_col).values():
         keep = g if keep is None else (keep & g)
+    return keep
+
+
+def image_quality_gates(pairs: DataFrame, cfg: ImageGateConfig = ImageGateConfig()) -> DataFrame:
+    """pairs(image_id, bytes, w, h, fmt, caption, ...) -> one row per pair
+    with per-gate booleans, the fused keep verdict, and a first-failure
+    reason. Narrow projection: bytes participates only via length()."""
+    gates = gate_map(cfg)
+    keep = keep_expr(cfg)
     reason = F.lit("ok")
     for name, why in reversed(GATE_REASONS):
         reason = F.when(~gates[name], F.lit(why)).otherwise(reason)

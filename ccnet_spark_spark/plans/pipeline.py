@@ -78,6 +78,12 @@ class Config:
     # keeps the pre-trim line count.
     passage_trim: bool = False
     passage_gram_n: int = 8
+    # engine addition (off by default): LAION/DataComp image+caption
+    # metadata gates (operators/image_quality.py) as the FIRST filter —
+    # a pure scan predicate (no join, no Python) that cuts every
+    # downstream stage. Requires the pair columns (w, h, fmt, bytes).
+    image_gates: bool = False
+    image_gate_config: object | None = None  # ImageGateConfig; None -> defaults
     steps: list[str] = field(default_factory=lambda: list(ALL_STEPS))
 
 
@@ -98,6 +104,12 @@ class Pipeline:
         for col in ENGINE_COLUMNS:
             if col in df.columns:
                 df = df.withColumnRenamed(col, f"src_{col}")
+        if cfg.image_gates:
+            from ..operators.image_quality import ImageGateConfig, keep_expr
+
+            # single predicate on the source scan — applied BEFORE
+            # sampling so the sampled population is the gated corpus
+            df = df.filter(keep_expr(cfg.image_gate_config or ImageGateConfig(), text_col))
         if cfg.sample_rate:
             df = df.sample(fraction=cfg.sample_rate, seed=42)
 

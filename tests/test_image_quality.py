@@ -130,3 +130,21 @@ def test_meta_fixture_fresh():
     regen["n_bytes"] = regen["bytes"].map(len)
     regen = regen[["image_id", "w", "h", "fmt", "n_bytes", "caption"]]
     pd.testing.assert_frame_equal(disk.head(25), regen, check_dtype=False)
+
+
+def test_pipeline_image_gates_prefilter(spark):
+    """Config.image_gates composes the gates as the FIRST filter: output
+    ids == ungated pipeline run over the manually-gated input (order
+    matters — gating precedes global line dedup)."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    cutoffs = {lang: (300.0, 340.0) for lang in ("en", "de", "fr", "es", "zh")}
+    pairs = generate_pairs(spark, 150)
+    gated = Pipeline(spark, Config(cutoffs=cutoffs, image_gates=True)).run(pairs)
+    manual = Pipeline(spark, Config(cutoffs=cutoffs)).run(
+        pairs.join(image_quality_gates(pairs).where("keep").select("image_id"), "image_id")
+    )
+    got = {r.image_id: (r.keep, r.bucket) for r in gated.select("image_id", "keep", "bucket").collect()}
+    exp = {r.image_id: (r.keep, r.bucket) for r in manual.select("image_id", "keep", "bucket").collect()}
+    assert got == exp and 0 < len(got) < 150
