@@ -1585,6 +1585,63 @@ def q_pairs_pipeline_gated(spark, sf_dir):
     )
 
 
+def q_image_exact_dedup(spark, sf_dir):
+    """Exact IMAGE dedup by payload digest (LAION's first dedup pass is
+    byte-identical images): sha2(bytes, 256) -> keep the min-id image per
+    digest. 25 planted byte-identical copies ('<id>_copy') must all drop;
+    originals all survive (random payloads never collide). Oracle = same
+    plant + keep rule in DuckDB over digests computed by python hashlib
+    (an independent SHA-256 implementation) in the checked-in fixture."""
+    from ccnet_spark_spark.synth import generate_pairs
+
+    base = generate_pairs(spark, 300).select("image_id", "bytes")
+    copies = base.where(F.col("image_id") < "img0000000025").select(
+        F.concat(F.col("image_id"), F.lit("_copy")).alias("image_id"), "bytes"
+    )
+    hashed = (
+        base.union(copies)
+        .select("image_id", F.sha2("bytes", 256).alias("payload_sha"))
+        .localCheckpoint()  # feeds both sides of the keeper semi-join
+    )
+    keepers = hashed.groupBy("payload_sha").agg(F.min("image_id").alias("image_id"))
+    return hashed.join(keepers, on=["image_id"], how="left_semi")
+
+
+def q_phash_clusters(spark, sf_dir):
+    """IMAGE dedup completion — detect -> cluster -> collapse over the
+    perceptual hash (mirrors the text side's dup_clusters /
+    cluster_canonical): two-pass bucketed phash near-dup pairs ->
+    connected components (min-label propagation) -> per-cluster size +
+    canonical keep (cluster-min id). Oracle rebuilds the planted corpus,
+    the bucketed pairs, and components via a RECURSIVE reachability CTE."""
+    from ccnet_spark_spark.operators.graph import dup_clusters
+    from ccnet_spark_spark.synth import generate_pairs
+
+    base = generate_pairs(spark, 400).select("image_id", "phash")
+    low = base.where(F.col("image_id") < "img0000000020").select(
+        F.concat(F.col("image_id"), F.lit("_dup")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
+    )
+    top = base.where(
+        (F.col("image_id") >= "img0000000020") & (F.col("image_id") < "img0000000040")
+    ).select(
+        F.concat(F.col("image_id"), F.lit("_top")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit((1 << 50) | (1 << 55))).alias("phash"),
+    )
+    corpus = base.union(low).union(top).localCheckpoint()
+    pairs = dedup.hash64_neardup_pairs(
+        corpus, "image_id", "phash", prefix_bits=16, max_hamming=8, passes=2
+    )
+    clusters = dup_clusters(corpus, pairs.select("id_a", "id_b"), id_col="image_id")
+    w = Window.partitionBy("cluster")
+    return clusters.select(
+        "image_id",
+        "cluster",
+        F.count(F.lit(1)).over(w).cast("long").alias("csize"),
+        (F.col("image_id") == F.col("cluster")).alias("is_canonical"),
+    )
+
+
 def q_phash_neardup(spark, sf_dir):
     """IMAGE near-dup via perceptual hash: bucket the pairs table's phash
     column by its top 16 bits, verify candidates by popcount(xor) <= 8 —
@@ -2356,11 +2413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_gates": _wrap(q_image_quality_gates),  # new in r5
         "caption_alignment": _wrap(q_caption_alignment),  # new in r5
         "pairs_pipeline_gated": _wrap(q_pairs_pipeline_gated),  # new in r5
+        "image_exact_dedup": _wrap(q_image_exact_dedup),  # new in r5
+        "phash_clusters": _wrap(q_phash_clusters),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
         "dedup_nokeep": _wrap(q_dedup_nokeep),
-        "exact_dedup": _wrap(q_exact_dedup),
         "regroup": _wrap(q_regroup),
         "normalize": _wrap(q_normalize),
         "line_hash": _wrap(q_line_hash),
@@ -2381,7 +2439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_then_jaccard": _wrap(q_lsh_then_jaccard),
         "simhash_neardup": _wrap(q_simhash_neardup),
         "phash_neardup": _wrap(q_phash_neardup),
-        "dup_clusters": _wrap(q_dup_clusters),
         "decontaminate": _wrap(q_decontaminate),
         "incremental_dedup_bloom": _wrap(q_incremental_dedup_bloom),
         "dup_passages": _wrap(q_dup_passages),
@@ -2411,6 +2468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_lang": _wrap(q_topk_per_lang),  # rotated below in r5
         # (relational family still in-window via min_len_filter /
         # lang_filter) to make room for pairs_pipeline_gated
+        "exact_dedup": _wrap(q_exact_dedup),  # rotated below in r5 (dedup
+        # family still in-window via dedup_keep/minhash_dedup; the exact
+        # hash-groupBy shape is in-window via image_exact_dedup)
+        "dup_clusters": _wrap(q_dup_clusters),  # rotated below in r5 (the
+        # CC machinery is in-window via phash_clusters)
         "gopher_lines": _wrap(q_gopher_lines),
         "selfcal_bucket": _wrap(q_selfcal_bucket),
         "incremental_dedup": _wrap(q_incremental_dedup),
@@ -3345,6 +3407,39 @@ def oracle_sql() -> dict[str, str]:
             # up to 9e7 — a `< 100000` cut kept only replica 0).
             f"select f.doc_id, f.simhash from read_parquet('{_simhash_fixture()}') f "
             "join documents d on f.doc_id = d.doc_id"
+        ),
+        "image_exact_dedup": (
+            f"with base as (select image_id, payload_sha from "
+            f"read_parquet('{_fixture('pairs300_payload_sha.parquet')}')), "
+            "corpus as (select * from base union all "
+            "select image_id || '_copy' as image_id, payload_sha "
+            "from base where image_id < 'img0000000025') "
+            "select image_id, payload_sha from corpus "
+            "qualify row_number() over (partition by payload_sha order by image_id) = 1"
+        ),
+        "phash_clusters": (
+            f"with recursive base as (select image_id, phash from "
+            f"read_parquet('{_fixture('pairs400_phash.parquet')}')), "
+            "corpus as (select * from base union all "
+            "select image_id || '_dup' as image_id, xor(phash, 5) as phash "
+            "from base where image_id < 'img0000000020' union all "
+            f"select image_id || '_top' as image_id, xor(phash, {(1 << 50) | (1 << 55)}) as phash "
+            "from base where image_id >= 'img0000000020' and image_id < 'img0000000040'), "
+            "cand as (select distinct a.image_id as id_a, b.image_id as id_b "
+            "from corpus a join corpus b on a.image_id < b.image_id "
+            f"and ((xor(a.phash, b.phash) & ({-(1 << 48)})::bigint) = 0 "
+            f"or (xor(a.phash, b.phash) & {(1 << 48) - (1 << 32)}) = 0) "
+            "where bit_count(xor(a.phash, b.phash)) <= 8), "
+            "edges as (select id_a as u, id_b as v from cand "
+            "union select id_b as u, id_a as v from cand), "
+            "reach as (select u as node, v as r from edges "
+            "union select e.u as node, reach.r from edges e join reach on e.v = reach.node), "
+            "lbl as (select node, least(min(r), node) as cluster from reach group by node), "
+            "mem as (select c.image_id, coalesce(l.cluster, c.image_id) as cluster "
+            "from corpus c left join lbl l on l.node = c.image_id) "
+            "select image_id, cluster, "
+            "cast(count(*) over (partition by cluster) as bigint) as csize, "
+            "image_id = cluster as is_canonical from mem"
         ),
         "phash_neardup": (
             f"with base as (select image_id, phash from "

@@ -46,6 +46,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     ap.add_argument("--lang-col", default=None, help="pre-labeled corpus: take language from this input column and skip LID")
     ap.add_argument("--trim-passages", action="store_true", help="cut corpus-duplicated token passages out of the deduped text (engine addition)")
     ap.add_argument("--passage-gram-n", type=int, default=8)
+    ap.add_argument("--image-gates", action="store_true", help="apply LAION-style image metadata + caption gates as the first filter (requires pair columns w/h/fmt/bytes)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -68,6 +69,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         lang_col=args.lang_col,
         passage_trim=args.trim_passages,
         passage_gram_n=args.passage_gram_n,
+        image_gates=args.image_gates,
         steps=[st for st in ALL_STEPS if st != "lid"] if args.lang_col else list(ALL_STEPS),
     )
     pipe = Pipeline(spark, cfg)

@@ -191,3 +191,15 @@ def test_bpe_fixture_fresh():
     assert (r0["left"], r0["right"], int(r0["pair_count"])) == (a, b, cnt), STALE
     vdisk = pd.read_parquet(os.path.join(FIX, "bpe_vocab_sf0.01.parquet"))
     assert set(vdisk["word"]) == set(vocab), STALE
+
+
+def test_payload_sha_fixture_fresh():
+    import hashlib
+
+    from ccnet_spark_spark.synth import gen_pandas
+
+    disk = pd.read_parquet(os.path.join(FIX, "pairs300_payload_sha.parquet"))
+    assert len(disk) == 300, STALE
+    regen = gen_pandas(0, 10)
+    expect = [hashlib.sha256(bytes(b)).hexdigest() for b in regen["bytes"]]
+    assert list(disk.head(10).payload_sha) == expect, STALE

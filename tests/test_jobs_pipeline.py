@@ -53,3 +53,23 @@ def test_run_pipeline_cli_trim_passages(spark, tmp_path):
 
     bad = res.where(F.length("dedup_caption") > F.col("original_length")).count()
     assert bad == 0
+
+
+def test_run_pipeline_cli_image_gates(spark, tmp_path):
+    inp = _write_pairs(spark, tmp_path)
+    out = str(tmp_path / "out_gated")
+    rc = run_pipeline.main(
+        ["--input", inp, "--output", out, "--cutoffs", CUTOFFS, "--min-len", "50", "--image-gates"],
+        stop_session=False,
+    )
+    assert rc == 0
+    res = spark.read.parquet(out)
+    # the gates are a PRE-filter: the verdict table holds only gate
+    # survivors, and every survivor satisfies the gate predicate
+    from ccnet_spark_spark.operators.image_quality import ImageGateConfig, keep_expr
+
+    n = res.count()
+    assert 0 < n < 60
+    pairs = spark.read.parquet(inp)
+    expected = pairs.filter(keep_expr(ImageGateConfig(), "caption")).count()
+    assert n == expected

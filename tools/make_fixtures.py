@@ -148,6 +148,26 @@ def make_source_formats(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"documents_sf001.{{jsonl,csv,orc}}: {len(docs)} rows each")
 
 
+def make_pairs_payload_sha(n: int = 300) -> None:
+    """(image_id, payload_sha) for q_image_exact_dedup: the digests come
+    from python hashlib over the generator payloads — an implementation of
+    SHA-256 independent of the JVM's, so the oracle genuinely cross-checks
+    Spark's sha2(bytes, 256)."""
+    import hashlib
+
+    from ccnet_spark_spark.synth import gen_pandas
+
+    df = gen_pandas(0, n)
+    out = pd.DataFrame(
+        {
+            "image_id": df["image_id"],
+            "payload_sha": [hashlib.sha256(bytes(b)).hexdigest() for b in df["bytes"]],
+        }
+    )
+    out.to_parquet(os.path.join(FIXTURES, "pairs300_payload_sha.parquet"), index=False)
+    print(f"pairs300_payload_sha.parquet: {len(out)} rows")
+
+
 def make_pairs_meta(n: int = 400) -> None:
     """(image_id, w, h, fmt, n_bytes, caption) for the 400-pair corpus —
     the q_image_quality_gates oracle runs the SQL CASE-chain twin over
@@ -452,6 +472,7 @@ if __name__ == "__main__":
     make_pairs_input()
     make_pairs_phash()
     make_pairs_meta()
+    make_pairs_payload_sha()
     make_keepdrop_labels()
     make_source_formats()
     make_frame_sample_expected()
