@@ -40,6 +40,7 @@ from ccnet_spark_spark.functions.normalize import (
 from ccnet_spark_spark.functions.scrub import scrub_expr, scrub_sql
 from ccnet_spark_spark.operators import bucket as bucket_op
 from ccnet_spark_spark.operators import image_quality as image_quality_op
+from ccnet_spark_spark.operators import model_heads as model_heads_op
 from ccnet_spark_spark.operators import chunk as chunk_op
 from ccnet_spark_spark.operators import (
     dedup,
@@ -1642,6 +1643,103 @@ def q_phash_clusters(spark, sf_dir):
     )
 
 
+def q_model_score_gates(spark, sf_dir):
+    """LAION-aesthetics / NSFW-style model-score gates over 200 pairs:
+    decode -> embed (multimodal.image_embedding) -> TWO linear heads
+    (operators/model_heads.py — the production shape: LAION-aesthetics v1
+    is a linear probe over CLIP embeddings) -> keep verdict. Both scores
+    are pure Catalyst dot products against 6dp weight literals — zero
+    Python after the embed, no shuffle. Oracle recomputes both scores and
+    the verdict in DuckDB from the independent-decoder embedding fixture
+    with the identical literals (thresholds sit >=2e-3 from every fixture
+    score, so sum-order float noise can never flip the compare)."""
+    from ccnet_spark_spark.operators import multimodal
+    from ccnet_spark_spark.operators.model_heads import model_score_gates
+    from ccnet_spark_spark.synth import generate_pairs
+
+    emb = multimodal.image_embedding(generate_pairs(spark, 200), dim=64)
+    return model_score_gates(emb).select("image_id", "aesthetic", "nsfw", "model_keep")
+
+
+def q_caption_frequency(spark, sf_dir):
+    """Boilerplate-caption gate (LAION's repeated-stock-caption failure
+    mode): images per NORMALIZED caption via one window count over
+    xxhash64(norm) — the caption text itself never shuffles. Corpus = 400
+    pairs + three plants: 30 copies of one stock caption (count 30 > 10
+    -> flagged), 10 copies of another (count 10, NOT > 10 — pins the
+    boundary), and 2 NULL-caption rows (grouped but EXEMPT — the metadata
+    gates own NULL captions). Oracle = the same normalize twin + window
+    count over the metadata fixture's captions with the same plants."""
+    from ccnet_spark_spark.operators.image_quality import caption_frequency
+    from ccnet_spark_spark.synth import generate_pairs
+
+    base = generate_pairs(spark, 400).select("image_id", "caption")
+    bp = base.where(F.col("image_id") < "img0000000030").select(
+        F.concat("image_id", F.lit("_bp")).alias("image_id"),
+        F.lit("stock photo of a generic product").alias("caption"),
+    )
+    edge = base.where(
+        (F.col("image_id") >= "img0000000030") & (F.col("image_id") < "img0000000040")
+    ).select(
+        F.concat("image_id", F.lit("_ed")).alias("image_id"),
+        F.lit("thumbnail for the video").alias("caption"),
+    )
+    nul = base.where(F.col("image_id") < "img0000000002").select(
+        F.concat("image_id", F.lit("_nul")).alias("image_id"),
+        F.lit(None).cast("string").alias("caption"),
+    )
+    return caption_frequency(base.union(bp).union(edge).union(nul), max_count=10)
+
+
+def q_datacomp_filter(spark, sf_dir):
+    """The composed DataComp-style curation pipeline over 200 pairs — the
+    image-axis flagship conjunction: metadata gates (resolution/aspect/
+    format/caption heuristics) AND caption-image alignment (CLIP-score
+    analog) AND aesthetic/NSFW linear heads AND the boilerplate-caption
+    budget, one row per pair with per-family verdicts. All four families
+    derive from ONE materialized scan (localCheckpoint — the payload
+    would otherwise decode once per branch) and meet in id equi-joins.
+    Oracle composes each family's existing twin (meta CASE-chain,
+    embedding-fixture cosines, literal-weight heads, normalize+count)."""
+    from ccnet_spark_spark.operators import multimodal
+    from ccnet_spark_spark.operators.image_quality import (
+        ImageGateConfig,
+        caption_frequency,
+        keep_expr,
+    )
+    from ccnet_spark_spark.operators.model_heads import model_score_gates
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 200).localCheckpoint()
+    meta = pairs.select("image_id", keep_expr(ImageGateConfig()).alias("meta_keep"))
+    align = multimodal.caption_image_alignment(pairs, tau=0.1).select("image_id", "aligned")
+    model = model_score_gates(multimodal.image_embedding(pairs, dim=64)).select(
+        "image_id", "aesthetic", "nsfw", "model_keep"
+    )
+    freq = caption_frequency(pairs, max_count=10)
+    return (
+        meta.join(align, "image_id")
+        .join(model, "image_id")
+        .join(freq, "image_id")
+        .select(
+            "image_id",
+            "meta_keep",
+            "aligned",
+            "aesthetic",
+            "nsfw",
+            "model_keep",
+            "caption_count",
+            "boilerplate",
+            (
+                F.col("meta_keep")
+                & F.col("aligned")
+                & F.col("model_keep")
+                & ~F.col("boilerplate")
+            ).alias("keep"),
+        )
+    )
+
+
 def q_phash_neardup(spark, sf_dir):
     """IMAGE near-dup via perceptual hash: bucket the pairs table's phash
     column by its top 16 bits, verify candidates by popcount(xor) <= 8 —
@@ -2415,6 +2513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_pipeline_gated": _wrap(q_pairs_pipeline_gated),  # new in r5
         "image_exact_dedup": _wrap(q_image_exact_dedup),  # new in r5
         "phash_clusters": _wrap(q_phash_clusters),  # new in r5
+        "model_score_gates": _wrap(q_model_score_gates),  # new in r5
+        "caption_frequency": _wrap(q_caption_frequency),  # new in r5
+        "datacomp_filter": _wrap(q_datacomp_filter),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -2894,6 +2995,59 @@ def oracle_sql() -> dict[str, str]:
             f"from read_parquet('{_fixture('image_embed200_expected.parquet')}') a "
             f"join read_parquet('{_fixture('caption_embed200_expected.parquet')}') b "
             "using (image_id) where a.image_id not like '%\\_dup' escape '\\'"
+        ),
+        "model_score_gates": (
+            "select image_id, "
+            + ", ".join(
+                f"{sql} as {name}"
+                for name, sql in model_heads_op.model_score_gates_sql("embedding").items()
+            )
+            + f" from read_parquet('{_fixture('image_embed200_expected.parquet')}') "
+            "where image_id not like '%\\_dup' escape '\\'"
+        ),
+        "caption_frequency": image_quality_op.caption_frequency_sql(
+            "(with b as (select image_id, caption from "
+            f"read_parquet('{_fixture('pairs400_meta.parquet')}')) "
+            "select * from b union all "
+            "select image_id || '_bp', 'stock photo of a generic product' "
+            "from b where image_id < 'img0000000030' union all "
+            "select image_id || '_ed', 'thumbnail for the video' "
+            "from b where image_id >= 'img0000000030' and image_id < 'img0000000040' "
+            "union all select image_id || '_nul', NULL from b "
+            "where image_id < 'img0000000002')",
+            max_count=10,
+        ),
+        "datacomp_filter": (
+            "with meta as (select image_id, keep as meta_keep from ("
+            + image_quality_op.image_quality_gates_sql(
+                f"(select * from read_parquet('{_fixture('pairs400_meta.parquet')}') "
+                "where image_id < 'img0000000200')"
+            )
+            + ")), "
+            "al as (select a.image_id, coalesce(" + cos + " >= 0.1, false) as aligned "
+            f"from read_parquet('{_fixture('image_embed200_expected.parquet')}') a "
+            f"join read_parquet('{_fixture('caption_embed200_expected.parquet')}') b "
+            "using (image_id) where a.image_id not like '%\\_dup' escape '\\'), "
+            "model as (select image_id, "
+            + ", ".join(
+                f"{sql} as {name}"
+                for name, sql in model_heads_op.model_score_gates_sql("embedding").items()
+            )
+            + f" from read_parquet('{_fixture('image_embed200_expected.parquet')}') "
+            "where image_id not like '%\\_dup' escape '\\'), "
+            "freq as ("
+            + image_quality_op.caption_frequency_sql(
+                "(select image_id, caption from "
+                f"read_parquet('{_fixture('pairs400_meta.parquet')}') "
+                "where image_id < 'img0000000200')",
+                max_count=10,
+            )
+            + ") "
+            "select m.image_id, meta_keep, aligned, aesthetic, nsfw, model_keep, "
+            "caption_count, boilerplate, "
+            "meta_keep and aligned and model_keep and not boilerplate as keep "
+            "from meta m join al using (image_id) join model using (image_id) "
+            "join freq using (image_id)"
         ),
         "emb_neardup_lsh": (
             "with bk as (select vec_id, embedding, "

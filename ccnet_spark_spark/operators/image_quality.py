@@ -149,3 +149,53 @@ def image_quality_gates_sql(meta_table: str, cfg: ImageGateConfig = ImageGateCon
         f"select image_id, w, h, fmt, {gate_names}, ({keep}) as keep, {reason} as reason "
         f"from (select *, {gate_cols} from {meta_table})"
     )
+
+
+# ------------------------------------------------- boilerplate captions
+# LAION's known failure mode: one stock caption ("image", "DSC_0123",
+# "thumbnail for the video") attached to thousands of unrelated images.
+# The gate counts images per NORMALIZED caption (the dedup normalizer —
+# functions/normalize.py — so case/punct/digit variants collapse) and
+# flags captions above a repetition budget. ONE shuffle: a window count
+# over xxhash64(norm); the caption text itself never shuffles (64-bit
+# hashes do), and at 10^12 scale AQE's skew handling splits the
+# pathological all-same-caption partitions the gate exists to catch.
+
+
+def caption_frequency(
+    pairs: DataFrame, max_count: int = 10, text_col: str = "caption"
+) -> DataFrame:
+    """pairs(image_id, <text_col>, ...) -> (image_id, caption_count,
+    boilerplate). NULL captions normalize to NULL and group together —
+    they are already caught by the metadata gates, so they are exempt
+    here (boilerplate=false) rather than double-counted."""
+    from pyspark.sql import Window
+
+    from ..functions.normalize import normalize_for_dedup_expr
+
+    w = Window.partitionBy(F.xxhash64(normalize_for_dedup_expr(F.col(text_col))))
+    return pairs.select(
+        "image_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("caption_count"),
+        (
+            F.col(text_col).isNotNull() & (F.count(F.lit(1)).over(w) > max_count)
+        ).alias("boilerplate"),
+    )
+
+
+def caption_frequency_sql(meta_table: str, max_count: int = 10) -> str:
+    """DuckDB twin — counts over the same normalized caption. The twin
+    groups by the normalized STRING rather than its xxhash64 (DuckDB has
+    no xxhash64); equal strings <=> equal hashes modulo 64-bit collisions,
+    which the contract corpus cannot exhibit."""
+    from ..functions.normalize import normalize_for_dedup_sql
+
+    norm = normalize_for_dedup_sql("caption")
+    return (
+        "select image_id, cast(count(*) over (partition by "
+        + norm
+        + ") as bigint) as caption_count, "
+        "caption is not null and count(*) over (partition by "
+        + norm
+        + f") > {max_count} as boilerplate from {meta_table}"
+    )
