@@ -1740,6 +1740,54 @@ def q_datacomp_filter(spark, sf_dir):
     )
 
 
+def q_pairs_pipeline_curated(spark, sf_dir):
+    """The full DataComp-ordered CURATED pipeline end-to-end — the r5
+    composition flagship: scan-predicate metadata gates -> boilerplate-
+    caption budget (one window-count shuffle; 20 planted stock-caption
+    copies over gate-passing rows MUST all drop at budget 10) -> model
+    gates (decode survivors ONCE: localCheckpoint'd image tower feeds
+    both the aesthetic/NSFW heads and the caption-image alignment
+    cosine) -> the complete caption pipeline (min_len, global line
+    dedup, stub LID, pp, bucket, scrub, verdict) over what survives.
+    Cost-ordered cascade: each stage is strictly more expensive per row
+    than the one before it, and each runs only on the previous stage's
+    survivors — the 10^12-scale shape where 3/4 of the corpus never
+    reaches a decoder. Oracle = the composed pipeline twin with its
+    input restricted to the gate∧budget∧heads∧alignment survivor set,
+    each family's verdict rebuilt from its proven twin (gate CASE chain
+    over the metadata fixture, normalize+window-count budget over the
+    gate-survivor union, literal-weight heads + cosine over the 400-row
+    independent-decoder embedding fixtures)."""
+    from ccnet_spark_spark.operators.image_quality import keep_expr
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    base = generate_pairs(spark, 400)
+    # boilerplate plants: stock caption over rows that PASS the metadata
+    # gates (so the budget stage, not the gates, must catch them)
+    plants = base.where(keep_expr() & (F.col("image_id") < "img0000000100")).select(
+        F.concat("image_id", F.lit("_bp")).alias("image_id"),
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        F.lit("stock photo of a generic product").alias("caption"),
+        "phash",
+    )
+    cfg = Config(cutoffs=_cutoffs(), image_gates=True, caption_budget=10, model_gates=True)
+    out = Pipeline(spark, cfg).run(base.unionByName(plants))
+    return out.select(
+        "image_id",
+        "lang",
+        "bucket",
+        "keep",
+        "drop_reason",
+        "scrubbed_caption",
+        F.col("nlines").cast("double").alias("nlines"),
+        F.col("length").cast("double").alias("length"),
+    )
+
+
 def q_phash_neardup(spark, sf_dir):
     """IMAGE near-dup via perceptual hash: bucket the pairs table's phash
     column by its top 16 bits, verify candidates by popcount(xor) <= 8 —
@@ -2498,7 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal, sources, streaming) — a larger cross-section than r4
     # kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 108 contract queries.
+    # r1-r5 driver-recorded keys covers all 114 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -2516,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_score_gates": _wrap(q_model_score_gates),  # new in r5
         "caption_frequency": _wrap(q_caption_frequency),  # new in r5
         "datacomp_filter": _wrap(q_datacomp_filter),  # new in r5
+        "pairs_pipeline_curated": _wrap(q_pairs_pipeline_curated),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3048,6 +3097,43 @@ def oracle_sql() -> dict[str, str]:
             "meta_keep and aligned and model_keep and not boilerplate as keep "
             "from meta m join al using (image_id) join model using (image_id) "
             "join freq using (image_id)"
+        ),
+        # the curated cascade's survivor set: gates (CASE-chain twin over
+        # the metadata fixture) -> budget (normalize+window-count over the
+        # gate-survivor union INCLUDING the 20 stock-caption plants, which
+        # must all die here) -> heads + alignment (literal-weight scores /
+        # cosine over the 400-row independent-decoder embedding fixtures);
+        # the composed pipeline twin then runs over exactly that input.
+        "pairs_pipeline_curated": _pairs_pipeline_sql(
+            cutoffs,
+            input_where=(
+                "where image_id in ("
+                "with gk as (select image_id from ("
+                + image_quality_op.image_quality_gates_sql(
+                    f"read_parquet('{_fixture('pairs400_meta.parquet')}')"
+                )
+                + ") where keep), "
+                "surv as (select image_id, caption from "
+                f"read_parquet('{_fixture('pairs400_meta.parquet')}') "
+                "where image_id in (select image_id from gk) "
+                "union all select image_id || '_bp', 'stock photo of a generic product' "
+                "from gk where image_id < 'img0000000100'), "
+                "budg as (select image_id from ("
+                + image_quality_op.caption_frequency_sql("surv", max_count=10)
+                + ") where not boilerplate), "
+                "model as (select image_id from (select image_id, "
+                + model_heads_op.model_score_gates_sql("embedding")["model_keep"]
+                + " as model_keep "
+                f"from read_parquet('{_fixture('image_embed400_expected.parquet')}')) "
+                "where model_keep), "
+                "al as (select a.image_id from "
+                f"read_parquet('{_fixture('image_embed400_expected.parquet')}') a "
+                f"join read_parquet('{_fixture('caption_embed400_expected.parquet')}') b "
+                "using (image_id) where coalesce(" + cos + " >= 0.1, false)) "
+                "select image_id from budg "
+                "where image_id in (select image_id from model) "
+                "and image_id in (select image_id from al))"
+            ),
         ),
         "emb_neardup_lsh": (
             "with bk as (select vec_id, embedding, "

@@ -136,6 +136,21 @@ def main() -> None:
     write_result(result.withColumn("lang", F.coalesce("lang", F.lit("__null__"))), out_path)
     pipeline_sec = time.time() - t0
 
+    # -------- curated headline: the image-axis DataComp cascade over the
+    # SAME corpus — metadata gates (scan predicate) -> boilerplate-caption
+    # budget (one window-count shuffle) -> model gates (decode survivors
+    # once; aesthetic/NSFW heads + caption-image alignment) -> the full
+    # caption pipeline. The decode-bearing end-to-end number.
+    curated_cfg = Config(
+        cutoffs=load_cutoffs_dict(), image_gates=True, caption_budget=10, model_gates=True
+    )
+    t0 = time.time()
+    curated = Pipeline(spark, curated_cfg).run(spark.read.parquet(pairs_path)).drop("bytes")
+    write_result(
+        curated.withColumn("lang", F.coalesce("lang", F.lit("__null__"))), out_path + "_curated"
+    )
+    curated_sec = time.time() - t0
+
     # -------- per-query timings at SF_DIR (skipped with --pipeline-only)
     timings: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
@@ -153,6 +168,8 @@ def main() -> None:
                 "value": round(pipeline_sec, 3),
                 "unit": "sec",
                 "images_per_sec": round(n_images / pipeline_sec, 1),
+                "curated_sec": round(curated_sec, 3),
+                "curated_images_per_sec": round(n_images / curated_sec, 1),
                 "n_images": n_images,
                 "cpus": CPUS,
                 "queries": timings,

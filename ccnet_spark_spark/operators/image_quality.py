@@ -162,24 +162,30 @@ def image_quality_gates_sql(meta_table: str, cfg: ImageGateConfig = ImageGateCon
 # pathological all-same-caption partitions the gate exists to catch.
 
 
-def caption_frequency(
-    pairs: DataFrame, max_count: int = 10, text_col: str = "caption"
-) -> DataFrame:
-    """pairs(image_id, <text_col>, ...) -> (image_id, caption_count,
-    boilerplate). NULL captions normalize to NULL and group together —
-    they are already caught by the metadata gates, so they are exempt
-    here (boilerplate=false) rather than double-counted."""
+def caption_count_col(text_col: str = "caption") -> Column:
+    """Images per NORMALIZED caption as a window-count Column — the
+    single shuffle both caption_frequency and the pipeline's budget
+    stage share."""
     from pyspark.sql import Window
 
     from ..functions.normalize import normalize_for_dedup_expr
 
     w = Window.partitionBy(F.xxhash64(normalize_for_dedup_expr(F.col(text_col))))
+    return F.count(F.lit(1)).over(w).cast("long")
+
+
+def caption_frequency(
+    pairs: DataFrame, max_count: int = 10, text_col: str = "caption", id_col: str = "image_id"
+) -> DataFrame:
+    """pairs(<id_col>, <text_col>, ...) -> (<id_col>, caption_count,
+    boilerplate). NULL captions normalize to NULL and group together —
+    they are already caught by the metadata gates, so they are exempt
+    here (boilerplate=false) rather than double-counted."""
+    cnt = caption_count_col(text_col)
     return pairs.select(
-        "image_id",
-        F.count(F.lit(1)).over(w).cast("long").alias("caption_count"),
-        (
-            F.col(text_col).isNotNull() & (F.count(F.lit(1)).over(w) > max_count)
-        ).alias("boilerplate"),
+        id_col,
+        cnt.alias("caption_count"),
+        (F.col(text_col).isNotNull() & (cnt > max_count)).alias("boilerplate"),
     )
 
 

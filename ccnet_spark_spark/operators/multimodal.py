@@ -147,7 +147,9 @@ def caption_embedding(df: DataFrame, dim: int = 64, text_col: str = "caption") -
     return df.select("image_id", text_col).mapInPandas(op, schema=EMBED_SCHEMA)
 
 
-def caption_image_alignment(pairs: DataFrame, tau: float = 0.1, dim: int = 64) -> DataFrame:
+def caption_image_alignment(
+    pairs: DataFrame, tau: float = 0.1, dim: int = 64, img_emb: DataFrame | None = None
+) -> DataFrame:
     """CLIP-score-style caption-image alignment filter (the LAION keep
     rule: drop pairs whose image and caption embeddings disagree). Both
     towers are one Arrow crossing each over narrow projections (pixels
@@ -158,7 +160,12 @@ def caption_image_alignment(pairs: DataFrame, tau: float = 0.1, dim: int = 64) -
     caption vector gets alignment NULL and aligned=false (never NaN)."""
     from .similarity import _dot, _norm
 
-    img = image_embedding(pairs, dim=dim).withColumnRenamed("embedding", "_iv")
+    # img_emb: pass a precomputed (and typically localCheckpoint'd) image
+    # tower so a caller composing several embedding consumers (e.g. the
+    # pipeline's model_gates stage) decodes each payload exactly once
+    img = (img_emb if img_emb is not None else image_embedding(pairs, dim=dim)).withColumnRenamed(
+        "embedding", "_iv"
+    )
     cap = caption_embedding(pairs, dim=dim).withColumnRenamed("embedding", "_cv")
     a = F.col("_iv").cast("array<double>")
     b = F.col("_cv").cast("array<double>")

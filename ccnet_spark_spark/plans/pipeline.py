@@ -84,6 +84,17 @@ class Config:
     # downstream stage. Requires the pair columns (w, h, fmt, bytes).
     image_gates: bool = False
     image_gate_config: object | None = None  # ImageGateConfig; None -> defaults
+    # engine additions (off by default) completing the DataComp-style
+    # cost-ordered cascade AFTER the scan-predicate gates: first the
+    # boilerplate-caption budget (ONE window-count shuffle over gate
+    # survivors — drop captions repeated on more than `caption_budget`
+    # images; NULL captions exempt), then the model gates (decode gate+
+    # budget survivors ONCE -> image tower, localCheckpoint'd because it
+    # feeds both the aesthetic/NSFW linear heads and the caption-image
+    # alignment cosine). Requires the pair schema (image_id, bytes, fmt).
+    caption_budget: int | None = None
+    model_gates: bool = False
+    align_tau: float = 0.1
     steps: list[str] = field(default_factory=lambda: list(ALL_STEPS))
 
 
@@ -110,6 +121,41 @@ class Pipeline:
             # single predicate on the source scan — applied BEFORE
             # sampling so the sampled population is the gated corpus
             df = df.filter(keep_expr(cfg.image_gate_config or ImageGateConfig(), text_col))
+        if cfg.caption_budget is not None:
+            from ..operators.image_quality import caption_count_col
+
+            # window functions are illegal in WHERE: materialize the count
+            # as a column, filter, drop. NULL captions pass (the metadata
+            # gates own them); counts are over the current survivor set,
+            # so the budget composes with the gates in cascade order.
+            df = (
+                df.withColumn("_cap_count", caption_count_col(text_col))
+                .where(F.col(text_col).isNull() | (F.col("_cap_count") <= cfg.caption_budget))
+                .drop("_cap_count")
+            )
+        if cfg.model_gates:
+            from ..operators.model_heads import model_score_gates
+            from ..operators.multimodal import caption_image_alignment, image_embedding
+
+            if id_col != "image_id" or text_col != "caption":
+                raise ValueError(
+                    "model_gates runs the multimodal towers, which require the "
+                    "pair schema (image_id, bytes, fmt, caption); got "
+                    f"id_col={id_col!r}, text_col={text_col!r}"
+                )
+
+            # decode ONCE: the image tower feeds both heads and alignment,
+            # so it is materialized (id + 64 floats per survivor — tiny
+            # next to the payload; at 10^12 scale this is the embedding
+            # sidecar you would persist anyway)
+            emb = image_embedding(df, dim=64).localCheckpoint()
+            heads_keep = model_score_gates(emb).where(F.col("model_keep")).select(id_col)
+            align_keep = (
+                caption_image_alignment(df, tau=cfg.align_tau, img_emb=emb)
+                .where(F.col("aligned"))
+                .select(id_col)
+            )
+            df = df.join(heads_keep, id_col, "left_semi").join(align_keep, id_col, "left_semi")
         if cfg.sample_rate:
             df = df.sample(fraction=cfg.sample_rate, seed=42)
 

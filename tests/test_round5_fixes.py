@@ -314,3 +314,77 @@ def test_staged_writer_concurrent_writes_isolated(tmp_path):
     out2 = pd.read_parquet(target)
     assert sorted(out2["doc_id"]) == ["d1", "d2"]
     assert not os.path.exists(c.staging)
+
+
+# ------------------------------------------- curated pipeline composition
+
+
+def test_curated_pipeline_cascade(spark):
+    """Config(caption_budget, model_gates) composes the DataComp cascade
+    in cost order: the 20 stock-caption plants (gate-passing metadata)
+    die at the BUDGET stage, never reaching the towers; survivors are a
+    subset of the gates-only run; NULL captions are budget-exempt."""
+    import pyspark.sql.functions as F
+
+    from ccnet_spark_spark.operators.image_quality import keep_expr
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    from __spark_entry__ import _cutoffs
+
+    base = generate_pairs(spark, 400)
+    plants = base.where(keep_expr() & (F.col("image_id") < "img0000000100")).select(
+        F.concat("image_id", F.lit("_bp")).alias("image_id"),
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        F.lit("stock photo of a generic product").alias("caption"),
+        "phash",
+    )
+    corpus = base.unionByName(plants)
+    assert plants.count() == 20
+
+    gated = Pipeline(spark, Config(cutoffs=_cutoffs(), image_gates=True)).run(corpus)
+    gated_ids = {r[0] for r in gated.select("image_id").collect()}
+    # plants pass the metadata gates (they were selected to)
+    assert sum(1 for i in gated_ids if i.endswith("_bp")) == 20
+
+    budgeted = Pipeline(
+        spark, Config(cutoffs=_cutoffs(), image_gates=True, caption_budget=10)
+    ).run(corpus)
+    budgeted_ids = {r[0] for r in budgeted.select("image_id").collect()}
+    # ... and ALL die at the budget; no base row does (unique captions)
+    assert not any(i.endswith("_bp") for i in budgeted_ids)
+    assert budgeted_ids == {i for i in gated_ids if not i.endswith("_bp")}
+
+    curated = Pipeline(
+        spark,
+        Config(cutoffs=_cutoffs(), image_gates=True, caption_budget=10, model_gates=True),
+    ).run(corpus)
+    curated_ids = {r[0] for r in curated.select("image_id").collect()}
+    assert curated_ids and curated_ids < budgeted_ids
+
+
+def test_caption_budget_null_exempt(spark):
+    """NULL captions pass the budget stage regardless of group size (the
+    metadata gates own NULL captions; gates off here to isolate it)."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+
+    rows = [("d%02d" % i, None) for i in range(20)] + [("k%02d" % i, "una palabra distinta %d" % i) for i in range(3)]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    out = Pipeline(spark, Config(caption_budget=10)).run(df)
+    ids = {r[0] for r in out.select("image_id").collect()}
+    assert {"d%02d" % i for i in range(20)} <= ids
+
+
+def test_model_gates_requires_pair_schema(spark):
+    """model_gates hard-fails on a non-pair schema instead of silently
+    embedding the wrong columns."""
+    import pytest as _pytest
+
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="model_gates"):
+        Pipeline(spark, Config(model_gates=True)).run(df, id_col="doc_id", text_col="text")

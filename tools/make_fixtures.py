@@ -334,8 +334,8 @@ def make_caption_embedding_expected(n: int = 200, dim: int = 64) -> None:
     )
     # zero vectors are LEGAL (whitespace-only captions): both engines map
     # them to NULL alignment (Spark NaN->NULL guard; DuckDB 0/0 -> NULL)
-    out.to_parquet(os.path.join(FIXTURES, "caption_embed200_expected.parquet"), index=False)
-    print(f"caption_embed200_expected.parquet: {len(out)} rows")
+    out.to_parquet(os.path.join(FIXTURES, f"caption_embed{n}_expected.parquet"), index=False)
+    print(f"caption_embed{n}_expected.parquet: {len(out)} rows")
 
 
 def make_image_embedding_expected(n: int = 200, plant: int = 10, dim: int = 64) -> None:
@@ -367,8 +367,8 @@ def make_image_embedding_expected(n: int = 200, plant: int = 10, dim: int = 64) 
     for _, r in pairs.head(plant).iterrows():
         rows.append({"image_id": r["image_id"] + "_dup", "embedding": embed(r["bytes"])})
     out = pd.DataFrame(rows)
-    out.to_parquet(os.path.join(FIXTURES, "image_embed200_expected.parquet"), index=False)
-    print(f"image_embed200_expected.parquet: {len(out)} rows")
+    out.to_parquet(os.path.join(FIXTURES, f"image_embed{n}_expected.parquet"), index=False)
+    print(f"image_embed{n}_expected.parquet: {len(out)} rows")
 
 
 def make_bpe_expected(
@@ -481,6 +481,11 @@ if __name__ == "__main__":
     make_image_resize_expected()
     make_image_embedding_expected()
     make_caption_embedding_expected()
+    # 400-row towers (no plants) for the curated-pipeline oracle
+    # (pairs_pipeline_curated restricts the composed twin's input by
+    # model-head + alignment verdicts over the FULL 400 corpus)
+    make_image_embedding_expected(n=400, plant=0)
+    make_caption_embedding_expected(n=400)
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join("/root/testdata", sf)
         if os.path.isdir(d):
