@@ -122,17 +122,34 @@ class Pipeline:
             # sampling so the sampled population is the gated corpus
             df = df.filter(keep_expr(cfg.image_gate_config or ImageGateConfig(), text_col))
         if cfg.caption_budget is not None:
-            from ..operators.image_quality import caption_count_col
+            from ..functions.normalize import normalize_for_dedup_expr
 
-            # window functions are illegal in WHERE: materialize the count
-            # as a column, filter, drop. NULL captions pass (the metadata
-            # gates own them); counts are over the current survivor set,
-            # so the budget composes with the gates in cascade order.
-            df = (
-                df.withColumn("_cap_count", caption_count_col(text_col))
-                .where(F.col(text_col).isNull() | (F.col("_cap_count") <= cfg.caption_budget))
-                .drop("_cap_count")
+            # flagged-caption anti-join, NOT a window count: a window over
+            # xxhash64(norm) would shuffle FULL pipeline rows — payload
+            # bytes included — just to count captions. Instead aggregate
+            # the 8-byte hash alone (map-side partial agg over a
+            # caption-only column-pruned scan), keep only the over-budget
+            # hashes — a tiny frame by construction (every flagged hash
+            # accounts for > budget corpus rows) — and anti-join it back
+            # as a scan-side filter (AQE broadcasts the small side at
+            # runtime). NULL captions are exempt (the metadata gates own
+            # them): excluded from the counts, and a NULL join condition
+            # never matches, so left_anti keeps them. Counts are over the
+            # current survivor set, preserving the cascade order.
+            key = F.xxhash64(normalize_for_dedup_expr(F.col(text_col)))
+            flagged = (
+                df.where(F.col(text_col).isNotNull())
+                .groupBy(key.alias("_cap_key"))
+                .agg(F.count(F.lit(1)).alias("_cap_n"))
+                .where(F.col("_cap_n") > cfg.caption_budget)
+                .select("_cap_key")
+                # materialize ONCE: df feeds several downstream branches
+                # (model towers, the main chain), and without this each
+                # branch would re-run the caption scan + aggregate
+                # (plan-audited: 4x _cap_key exchanges before, 1 after)
+                .localCheckpoint()
             )
+            df = df.join(flagged, key == F.col("_cap_key"), "left_anti")
         if cfg.model_gates:
             from ..operators.model_heads import model_score_gates
             from ..operators.multimodal import caption_image_alignment, image_embedding
