@@ -38,6 +38,7 @@ from ccnet_spark_spark.functions.normalize import (
     normalize_for_dedup_sql,
 )
 from ccnet_spark_spark.functions.scrub import scrub_expr, scrub_sql
+from ccnet_spark_spark.operators import aspect as aspect_op
 from ccnet_spark_spark.operators import bucket as bucket_op
 from ccnet_spark_spark.operators import image_quality as image_quality_op
 from ccnet_spark_spark.operators import model_heads as model_heads_op
@@ -1788,6 +1789,26 @@ def q_pairs_pipeline_curated(spark, sf_dir):
     )
 
 
+def q_aspect_bucket_pack(spark, sf_dir):
+    """Aspect-ratio bucketing + per-bucket training-batch packing (the
+    SDXL practice; operators/aspect.py): every image goes to the NEAREST
+    aspect-ratio bucket of a fixed 9-entry resolution table via an EXACT
+    integer argmin (cross-multiplied fraction keys — never a float
+    comparison that could flip across engines), as a pure expression with
+    zero shuffle; then each bucket packs into batch_size=8 batches over
+    shards=4 deterministic content-hash sub-streams — the scale form
+    (parallelism = buckets x shards, batch ids unique via shard-offset
+    arithmetic, assignment a pure function of the row set). The DuckDB
+    twin rebuilds the same integer keys against the same inline bucket
+    table and the same sha256-prefix shards over the shared-input
+    metadata fixture."""
+    from ccnet_spark_spark.operators.aspect import aspect_bucket, pack_batches
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 400).select("image_id", "w", "h")
+    return pack_batches(aspect_bucket(pairs), batch_size=8, shards=4)
+
+
 def q_phash_neardup(spark, sf_dir):
     """IMAGE near-dup via perceptual hash: bucket the pairs table's phash
     column by its top 16 bits, verify candidates by popcount(xor) <= 8 —
@@ -2565,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_frequency": _wrap(q_caption_frequency),  # new in r5
         "datacomp_filter": _wrap(q_datacomp_filter),  # new in r5
         "pairs_pipeline_curated": _wrap(q_pairs_pipeline_curated),  # new in r5
+        "aspect_bucket_pack": _wrap(q_aspect_bucket_pack),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3134,6 +3156,19 @@ def oracle_sql() -> dict[str, str]:
                 "where image_id in (select image_id from model) "
                 "and image_id in (select image_id from al))"
             ),
+        ),
+        # nearest aspect bucket via the IDENTICAL integer keys against the
+        # same inline bucket table, then sharded packing with the same
+        # sha256-prefix shard + row_number arithmetic
+        "aspect_bucket_pack": aspect_op.pack_batches_sql(
+            "("
+            + aspect_op.aspect_bucket_sql(
+                "(select image_id, w, h from "
+                f"read_parquet('{_fixture('pairs400_meta.parquet')}'))"
+            )
+            + ")",
+            batch_size=8,
+            shards=4,
         ),
         "emb_neardup_lsh": (
             "with bk as (select vec_id, embedding, "

@@ -11,6 +11,10 @@ min AND median per level: min-based efficiency is the contention-robust
 read (both minima approximate the quiet-host run), medians show the noise.
 
 Usage: python tools/bench_scaling.py [n_rows] [rounds] [levels e.g. 4,16]
+                                    [--curated]
+--curated runs the full DataComp cascade (metadata gates -> caption
+budget -> model gates incl. the image-decode tower) instead of the plain
+caption pipeline — the decode-bearing scaling read.
 Writes JSON lines to stdout; summary table at the end.
 """
 
@@ -22,9 +26,11 @@ import statistics
 import subprocess
 import sys
 
-N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
-ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-LEVELS = [int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "4,16").split(",")]
+CURATED = "--curated" in sys.argv
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+N_ROWS = int(_args[0]) if len(_args) > 0 else 240_000
+ROUNDS = int(_args[1]) if len(_args) > 1 else 3
+LEVELS = [int(x) for x in (_args[2] if len(_args) > 2 else "4,16").split(",")]
 
 CHILD = r"""
 import os, sys, time, json
@@ -36,7 +42,7 @@ from ccnet_spark_spark.operators.bucket import load_cutoffs_dict
 from ccnet_spark_spark.sources.tables import write_result
 from ccnet_spark_spark.synth import write_pairs
 
-cpus = int(sys.argv[1]); n_rows = int(sys.argv[2])
+cpus = int(sys.argv[1]); n_rows = int(sys.argv[2]); curated = sys.argv[3] == "1"
 spark = get_spark(app_name=f"scaling{cpus}", cores=cpus)
 pairs_path = f"/tmp/ccnet_scaling_pairs_n{n_rows}_p64"
 if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
@@ -45,7 +51,11 @@ if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
     # the scaling read (measured: 8-file input capped local[16] at 0.75
     # efficiency; 64-file input restored the same plan to >0.8)
     write_pairs(spark, pairs_path, n_rows, partitions=64)
-cfg = Config(cutoffs=load_cutoffs_dict())
+if curated:
+    cfg = Config(cutoffs=load_cutoffs_dict(), image_gates=True, caption_budget=10,
+                 model_gates=True)
+else:
+    cfg = Config(cutoffs=load_cutoffs_dict())
 
 def one_pass(tag):
     t0 = time.time()
@@ -56,14 +66,15 @@ def one_pass(tag):
     return time.time() - t0
 
 one_pass("warmup")  # untimed
-print(json.dumps({"cpus": cpus, "n_rows": n_rows, "sec": round(one_pass("timed"), 2)}))
+print(json.dumps({"cpus": cpus, "n_rows": n_rows, "curated": curated,
+                  "sec": round(one_pass("timed"), 2)}))
 spark.stop()
 """
 
 
 def run_child(cpus: int) -> float:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(N_ROWS)],
+        [sys.executable, "-c", CHILD, str(cpus), str(N_ROWS), "1" if CURATED else "0"],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
