@@ -39,6 +39,7 @@ from ccnet_spark_spark.functions.normalize import (
 )
 from ccnet_spark_spark.functions.scrub import scrub_expr, scrub_sql
 from ccnet_spark_spark.operators import aspect as aspect_op
+from ccnet_spark_spark.sources import webdataset as webdataset_src
 from ccnet_spark_spark.operators import bucket as bucket_op
 from ccnet_spark_spark.operators import image_quality as image_quality_op
 from ccnet_spark_spark.operators import model_heads as model_heads_op
@@ -1809,6 +1810,52 @@ def q_aspect_bucket_pack(spark, sf_dir):
     return pack_batches(aspect_bucket(pairs), batch_size=8, shards=4)
 
 
+def q_aspect_resize(spark, sf_dir):
+    """Aspect bucketing composed with its downstream: every image resizes
+    to ITS bucket's training resolution (multimodal.resize_to — per-row
+    targets, unlike `resize`'s single square; targets/32 at test scale).
+    Oracle = pinned fixture from an INDEPENDENT re-implementation (exact-
+    Fraction bucket argmin vs the engine's integer keys, independent
+    decode/resize/ppm-encode; all-integer math, payload sha256-exact)."""
+    from ccnet_spark_spark.operators.aspect import aspect_bucket
+    from ccnet_spark_spark.operators.multimodal import resize_to
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = aspect_bucket(generate_pairs(spark, 200))
+    scaled = pairs.withColumn("target_w", (F.col("target_w") / 32).cast("int")).withColumn(
+        "target_h", (F.col("target_h") / 32).cast("int")
+    )
+    out = resize_to(scaled)
+    return out.join(pairs.select("image_id", "bucket_id"), "image_id").select(
+        "image_id",
+        "bucket_id",
+        "w",
+        "h",
+        "fmt",
+        F.sha2(F.col("bytes"), 256).alias("payload_sha"),
+    )
+
+
+def q_shard_assign(spark, sf_dir):
+    """WebDataset shard assignment (sources/webdataset.py): pack pairs
+    into byte-budget tar shards via a contiguous prefix sum over
+    length(bytes) in deterministic id order — the q_pack_sequences shape
+    on the image axis. Runs the SCALE form (substreams=2: per-content-
+    hash-stream prefix sums, shard ids unique via stream-offset
+    arithmetic) so the oracle value-checks the parallel path, not just
+    the serial one. DuckDB twin = the identical window arithmetic over
+    the metadata fixture (n_bytes stands in for length(bytes), as in the
+    image-gates twin). The tar WRITER over this assignment is pytest-
+    verified (roundtrip, byte-identical re-runs) in test_webdataset.py."""
+    from ccnet_spark_spark.sources.webdataset import assign_shards
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 400)
+    return assign_shards(pairs, budget_bytes=32_768, substreams=2).select(
+        "image_id", "n_bytes", "shard_id"
+    )
+
+
 def q_phash_neardup(spark, sf_dir):
     """IMAGE near-dup via perceptual hash: bucket the pairs table's phash
     column by its top 16 bits, verify candidates by popcount(xor) <= 8 —
@@ -2587,6 +2634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datacomp_filter": _wrap(q_datacomp_filter),  # new in r5
         "pairs_pipeline_curated": _wrap(q_pairs_pipeline_curated),  # new in r5
         "aspect_bucket_pack": _wrap(q_aspect_bucket_pack),  # new in r5
+        "shard_assign": _wrap(q_shard_assign),  # new in r5
+        "aspect_resize": _wrap(q_aspect_resize),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3169,6 +3218,17 @@ def oracle_sql() -> dict[str, str]:
             + ")",
             batch_size=8,
             shards=4,
+        ),
+        "aspect_resize": (
+            f"select * from read_parquet('{_fixture('aspect_resize200_expected.parquet')}')"
+        ),
+        # identical per-stream byte prefix sums + stream-offset shard ids
+        # over the metadata fixture's n_bytes
+        "shard_assign": webdataset_src.assign_shards_sql(
+            "(select image_id, cast(n_bytes as bigint) as n_bytes from "
+            f"read_parquet('{_fixture('pairs400_meta.parquet')}'))",
+            budget_bytes=32_768,
+            substreams=2,
         ),
         "emb_neardup_lsh": (
             "with bk as (select vec_id, embedding, "

@@ -93,7 +93,67 @@ def resize(df: DataFrame, target: int = 16) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
+def resize_to(
+    df: DataFrame, target_w_col: str = "target_w", target_h_col: str = "target_h"
+) -> DataFrame:
+    """Per-ROW-target nearest-neighbor resize + lossless ppm re-encode —
+    the downstream of operators/aspect.aspect_bucket (each image resizes
+    to ITS bucket's training resolution, the SDXL practice), unlike
+    `resize`'s single square target. Same spec as resize: output pixel
+    (y, x) samples source (y*H//th, x*W//tw) clipped — all-integer, so an
+    independent re-implementation is bit-exact. Rows with NULL targets
+    (bad dims upstream) are dropped — they have no bucket to train in."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt, tw, th in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["_tw"], pdf["_th"]
+            ):
+                px = codecs.decode(bytes(data), fmt)
+                tw, th = int(tw), int(th)
+                ys = (np.arange(th) * px.shape[0] // th).clip(0, px.shape[0] - 1)
+                xs = (np.arange(tw) * px.shape[1] // tw).clip(0, px.shape[1] - 1)
+                out = px[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "bytes": bytearray(codecs.encode_ppm(out)),
+                        "w": tw,
+                        "h": th,
+                        "fmt": "ppm",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    src = df.where(
+        F.col(target_w_col).isNotNull() & F.col(target_h_col).isNotNull()
+    ).select(
+        "image_id",
+        "bytes",
+        "fmt",
+        F.col(target_w_col).cast("int").alias("_tw"),
+        F.col(target_h_col).cast("int").alias("_th"),
+    )
+    return src.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
 EMBED_SCHEMA = "image_id string, embedding array<float>"
+
+
+def _image_vec(data: bytes, fmt: str, dim: int = 64) -> np.ndarray:
+    """The image-tower spec as a pure function (shared by image_embedding
+    and model_gate_passthrough so the two paths can never drift):
+    downsample to 8x8 grayscale -> flatten -> L2-normalize, float32."""
+    px = codecs.decode(data, fmt).astype(np.float32)
+    gray = px.mean(axis=2)
+    ys = (np.arange(8) * gray.shape[0] // 8).clip(0, gray.shape[0] - 1)
+    xs = (np.arange(8) * gray.shape[1] // 8).clip(0, gray.shape[1] - 1)
+    v = gray[np.ix_(ys, xs)].flatten()[:dim]
+    if len(v) < dim:
+        v = np.pad(v, (0, dim - len(v)))
+    n = float(np.linalg.norm(v)) or 1.0
+    return (v / n).astype(np.float32)
 
 
 def image_embedding(df: DataFrame, dim: int = 64) -> DataFrame:
@@ -105,15 +165,9 @@ def image_embedding(df: DataFrame, dim: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                px = codecs.decode(bytes(data), fmt).astype(np.float32)
-                gray = px.mean(axis=2)
-                ys = (np.arange(8) * gray.shape[0] // 8).clip(0, gray.shape[0] - 1)
-                xs = (np.arange(8) * gray.shape[1] // 8).clip(0, gray.shape[1] - 1)
-                v = gray[np.ix_(ys, xs)].flatten()[:dim]
-                if len(v) < dim:
-                    v = np.pad(v, (0, dim - len(v)))
-                n = float(np.linalg.norm(v)) or 1.0
-                rows.append({"image_id": img_id, "embedding": (v / n).astype(np.float32).tolist()})
+                rows.append(
+                    {"image_id": img_id, "embedding": _image_vec(bytes(data), fmt, dim).tolist()}
+                )
             yield pd.DataFrame(rows)
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=EMBED_SCHEMA)
@@ -128,23 +182,27 @@ def caption_embedding(df: DataFrame, dim: int = 64, text_col: str = "caption") -
       uint64; bucket = d % dim; sign = +1 if ((d >> 6) & 1) == 0 else -1;
       accumulate float32 counts; normalize v/(np.linalg.norm(v) or 1) in
       float32. A real CLIP text tower slots in behind the same signature."""
-    import hashlib
-
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for img_id, caption in zip(pdf["image_id"], pdf[text_col]):
-                v = np.zeros(dim, dtype=np.float32)
-                for tok in (caption or "").lower().split():
-                    d = int.from_bytes(
-                        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-                    )
-                    v[d % dim] += 1.0 if ((d >> 6) & 1) == 0 else -1.0
-                n = float(np.linalg.norm(v)) or 1.0
-                rows.append({"image_id": img_id, "embedding": (v / n).astype(np.float32).tolist()})
+                rows.append({"image_id": img_id, "embedding": _caption_vec(caption, dim).tolist()})
             yield pd.DataFrame(rows)
 
     return df.select("image_id", text_col).mapInPandas(op, schema=EMBED_SCHEMA)
+
+
+def _caption_vec(caption: str | None, dim: int = 64) -> np.ndarray:
+    """The caption-tower spec as a pure function (shared by
+    caption_embedding and model_gate_passthrough)."""
+    import hashlib
+
+    v = np.zeros(dim, dtype=np.float32)
+    for tok in (caption or "").lower().split():
+        d = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+        v[d % dim] += 1.0 if ((d >> 6) & 1) == 0 else -1.0
+    n = float(np.linalg.norm(v)) or 1.0
+    return (v / n).astype(np.float32)
 
 
 def caption_image_alignment(
@@ -182,6 +240,65 @@ def caption_image_alignment(
             F.coalesce(F.col("alignment") >= tau, F.lit(False)).alias("aligned"),
         )
     )
+
+
+def model_gate_passthrough(
+    pairs: DataFrame, tau: float = 0.1, dim: int = 64, text_col: str = "caption"
+) -> DataFrame:
+    """The ZERO-SHUFFLE form of the model-gate stage: ONE mapInPandas
+    computes both towers + the head scores + the alignment cosine per row
+    and appends boolean verdict columns (model_keep, aligned) to the FULL
+    row — the payload round-trips through Arrow once instead of the rows
+    semi-joining id keep-sets. Semantics pinned equal to the join form
+    (model_score_gates + caption_image_alignment) by pytest on the whole
+    400-pair corpus.
+
+    When each form wins at 10^12 rows: the join form's keep-sets are
+    id-only frames, but merging them back is a shuffle of the surviving
+    pair rows — payload bytes included unless the consumer's projection
+    drops them (Catalyst prunes; the bench pipeline does). The fused form
+    never shuffles ANY column at any consumer: its cost is one extra
+    Arrow crossing of the payload, local memory bandwidth instead of
+    network. Rows the decoder cannot score (NULL payload) fail closed on
+    model_keep, matching model_score_gates' NULL policy."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    from .model_heads import (
+        AESTHETIC_SEED,
+        AESTHETIC_THRESHOLD,
+        NSFW_SEED,
+        NSFW_THRESHOLD,
+        head_weights,
+    )
+
+    w_aes = np.array(head_weights(dim, AESTHETIC_SEED), dtype=np.float64)
+    w_nsfw = np.array(head_weights(dim, NSFW_SEED), dtype=np.float64)
+    schema = StructType(
+        list(pairs.schema.fields)
+        + [StructField("model_keep", BooleanType()), StructField("aligned", BooleanType())]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keeps, aligns = [], []
+            for data, fmt, caption in zip(pdf["bytes"], pdf["fmt"], pdf[text_col]):
+                if data is None:
+                    keeps.append(False)
+                    aligns.append(False)
+                    continue
+                iv = _image_vec(bytes(data), fmt, dim).astype(np.float64)
+                aes = round(float(iv @ w_aes), 4)
+                nsfw = round(float(iv @ w_nsfw), 4)
+                keeps.append(aes >= AESTHETIC_THRESHOLD and nsfw < NSFW_THRESHOLD)
+                cv = _caption_vec(caption, dim).astype(np.float64)
+                denom = float(np.sqrt(iv @ iv) * np.sqrt(cv @ cv))
+                aligns.append(denom != 0 and round(float(iv @ cv) / denom, 4) >= tau)
+            out = pdf.copy()
+            out["model_keep"] = keeps
+            out["aligned"] = aligns
+            yield out
+
+    return pairs.mapInPandas(op, schema=schema)
 
 
 # ------------------------------------------------------ video / audio ops

@@ -94,6 +94,12 @@ class Config:
     # alignment cosine). Requires the pair schema (image_id, bytes, fmt).
     caption_budget: int | None = None
     model_gates: bool = False
+    # "join" = towers over narrow projections + id semi-joins (keep-sets
+    # never carry payload; the join prunes bytes when the consumer does);
+    # "fused" = one mapInPandas appends the verdicts to the full row —
+    # zero shuffle at ANY consumer, one extra Arrow payload crossing
+    # (multimodal.model_gate_passthrough; pinned equal by pytest)
+    model_gates_mode: str = "join"
     align_tau: float = 0.1
     steps: list[str] = field(default_factory=lambda: list(ALL_STEPS))
 
@@ -152,7 +158,11 @@ class Pipeline:
             df = df.join(flagged, key == F.col("_cap_key"), "left_anti")
         if cfg.model_gates:
             from ..operators.model_heads import model_score_gates
-            from ..operators.multimodal import caption_image_alignment, image_embedding
+            from ..operators.multimodal import (
+                caption_image_alignment,
+                image_embedding,
+                model_gate_passthrough,
+            )
 
             if id_col != "image_id" or text_col != "caption":
                 raise ValueError(
@@ -160,19 +170,30 @@ class Pipeline:
                     "pair schema (image_id, bytes, fmt, caption); got "
                     f"id_col={id_col!r}, text_col={text_col!r}"
                 )
+            if cfg.model_gates_mode not in ("join", "fused"):
+                raise ValueError(f"model_gates_mode must be join|fused, got {cfg.model_gates_mode!r}")
 
-            # decode ONCE: the image tower feeds both heads and alignment,
-            # so it is materialized (id + 64 floats per survivor — tiny
-            # next to the payload; at 10^12 scale this is the embedding
-            # sidecar you would persist anyway)
-            emb = image_embedding(df, dim=64).localCheckpoint()
-            heads_keep = model_score_gates(emb).where(F.col("model_keep")).select(id_col)
-            align_keep = (
-                caption_image_alignment(df, tau=cfg.align_tau, img_emb=emb)
-                .where(F.col("aligned"))
-                .select(id_col)
-            )
-            df = df.join(heads_keep, id_col, "left_semi").join(align_keep, id_col, "left_semi")
+            if cfg.model_gates_mode == "fused":
+                # zero-shuffle form: verdicts ride the row through one
+                # Arrow crossing (see Config.model_gates_mode)
+                df = (
+                    model_gate_passthrough(df, tau=cfg.align_tau)
+                    .where(F.col("model_keep") & F.col("aligned"))
+                    .drop("model_keep", "aligned")
+                )
+            else:
+                # decode ONCE: the image tower feeds both heads and
+                # alignment, so it is materialized (id + 64 floats per
+                # survivor — tiny next to the payload; at 10^12 scale this
+                # is the embedding sidecar you would persist anyway)
+                emb = image_embedding(df, dim=64).localCheckpoint()
+                heads_keep = model_score_gates(emb).where(F.col("model_keep")).select(id_col)
+                align_keep = (
+                    caption_image_alignment(df, tau=cfg.align_tau, img_emb=emb)
+                    .where(F.col("aligned"))
+                    .select(id_col)
+                )
+                df = df.join(heads_keep, id_col, "left_semi").join(align_keep, id_col, "left_semi")
         if cfg.sample_rate:
             df = df.sample(fraction=cfg.sample_rate, seed=42)
 

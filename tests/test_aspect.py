@@ -123,3 +123,38 @@ def test_bucket_assignment_is_scan_side(spark):
     df = spark.createDataFrame([("a", 32, 16)], "image_id string, w int, h int")
     plan = aspect_bucket(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_resize_to_bucket_targets(spark):
+    """resize_to honors per-row targets (rectangular), drops NULL-target
+    rows, and payloads re-decode to the target shape."""
+    from ccnet_spark_spark import codecs
+    from ccnet_spark_spark.operators.multimodal import resize_to
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = aspect_bucket(generate_pairs(spark, 12))
+    scaled = pairs.withColumn("target_w", (F.col("target_w") / 32).cast("int")).withColumn(
+        "target_h", (F.col("target_h") / 32).cast("int")
+    )
+    out = resize_to(scaled).collect()
+    assert len(out) == 12
+    want = {(r["image_id"]): (r["target_w"], r["target_h"]) for r in scaled.collect()}
+    for r in out:
+        tw, th = want[r["image_id"]]
+        assert (r["w"], r["h"], r["fmt"]) == (tw, th, "ppm")
+        px = codecs.decode(bytes(r["bytes"]), "ppm")
+        assert px.shape == (th, tw, 3)
+
+
+def test_resize_to_drops_null_targets(spark):
+    from ccnet_spark_spark.operators.multimodal import resize_to
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 3).withColumns(
+        {
+            "target_w": F.when(F.col("image_id") != "img0000000000", F.lit(8)),
+            "target_h": F.when(F.col("image_id") != "img0000000000", F.lit(16)),
+        }
+    )
+    out = resize_to(pairs).collect()
+    assert sorted(r["image_id"] for r in out) == ["img0000000001", "img0000000002"]

@@ -203,3 +203,31 @@ def test_payload_sha_fixture_fresh():
     regen = gen_pandas(0, 10)
     expect = [hashlib.sha256(bytes(b)).hexdigest() for b in regen["bytes"]]
     assert list(disk.head(10).payload_sha) == expect, STALE
+
+
+def test_aspect_resize_fixture_fresh():
+    import hashlib
+    from fractions import Fraction
+
+    import numpy as np
+
+    from ccnet_spark_spark.operators.aspect import BUCKETS
+    from ccnet_spark_spark.synth import gen_pandas
+
+    disk = pd.read_parquet(os.path.join(FIX, "aspect_resize200_expected.parquet"))
+    assert len(disk) == 200, STALE
+    src = gen_pandas(0, 8)
+    for i, r in enumerate(src.itertuples()):
+        px = mf._decode_independent(bytes(r.bytes))
+        h, w = px.shape[0], px.shape[1]
+        _, bid, bw, bh = min(
+            (abs(Fraction(w, h) - Fraction(tw, th)), j, tw, th) for j, tw, th in BUCKETS
+        )
+        tw, th = bw // 32, bh // 32
+        ys = np.minimum(np.arange(th) * h // th, h - 1)
+        xs = np.minimum(np.arange(tw) * w // tw, w - 1)
+        sha = hashlib.sha256(mf._encode_ppm_independent(px[np.ix_(ys, xs)])).hexdigest()
+        assert disk.loc[i, "image_id"] == r.image_id, STALE
+        assert int(disk.loc[i, "bucket_id"]) == bid, STALE
+        assert (int(disk.loc[i, "w"]), int(disk.loc[i, "h"])) == (tw, th), STALE
+        assert disk.loc[i, "payload_sha"] == sha, STALE

@@ -388,3 +388,58 @@ def test_model_gates_requires_pair_schema(spark):
     df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     with _pytest.raises(ValueError, match="model_gates"):
         Pipeline(spark, Config(model_gates=True)).run(df, id_col="doc_id", text_col="text")
+
+
+# ------------------------------------------- fused model-gate passthrough
+
+
+def test_fused_model_gates_equal_join_form(spark):
+    """model_gate_passthrough (zero-shuffle fused form) keeps EXACTLY the
+    rows the join form keeps, over the whole 400-pair corpus — the engine-
+    internal pin that lets either form back the curated cascade."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    from __spark_entry__ import _cutoffs
+
+    base = generate_pairs(spark, 400)
+    join_cfg = Config(cutoffs=_cutoffs(), image_gates=True, caption_budget=10, model_gates=True)
+    fused_cfg = Config(
+        cutoffs=_cutoffs(),
+        image_gates=True,
+        caption_budget=10,
+        model_gates=True,
+        model_gates_mode="fused",
+    )
+    a = Pipeline(spark, join_cfg).run(base)
+    b = Pipeline(spark, fused_cfg).run(base)
+    cols = [c for c in a.columns if c != "bytes"]
+    ra = sorted(repr(tuple(r)) for r in a.select(*cols).collect())
+    rb = sorted(repr(tuple(r)) for r in b.select(*cols).collect())
+    assert ra == rb
+
+
+def test_fused_gate_null_payload_fails_closed(spark):
+    from pyspark.sql import functions as F
+
+    from ccnet_spark_spark.operators.multimodal import model_gate_passthrough
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 3).withColumn(
+        "bytes", F.when(F.col("image_id") != "img0000000000", F.col("bytes"))
+    )
+    out = {r["image_id"]: r for r in model_gate_passthrough(pairs).collect()}
+    assert out["img0000000000"]["model_keep"] is False
+    assert out["img0000000000"]["aligned"] is False
+
+
+def test_model_gates_mode_validated(spark):
+    import pytest as _pytest
+
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    with _pytest.raises(ValueError, match="model_gates_mode"):
+        Pipeline(spark, Config(model_gates=True, model_gates_mode="bogus")).run(
+            generate_pairs(spark, 2)
+        )

@@ -15,6 +15,9 @@ Usage: python tools/bench_scaling.py [n_rows] [rounds] [levels e.g. 4,16]
 --curated runs the full DataComp cascade (metadata gates -> caption
 budget -> model gates incl. the image-decode tower) instead of the plain
 caption pipeline — the decode-bearing scaling read.
+--fused additionally switches the cascade's model-gate stage to the
+zero-shuffle fused passthrough (model_gates_mode="fused") for the
+join-vs-fused scaling A/B.
 Writes JSON lines to stdout; summary table at the end.
 """
 
@@ -27,6 +30,7 @@ import subprocess
 import sys
 
 CURATED = "--curated" in sys.argv
+FUSED = "--fused" in sys.argv
 _args = [a for a in sys.argv[1:] if not a.startswith("--")]
 N_ROWS = int(_args[0]) if len(_args) > 0 else 240_000
 ROUNDS = int(_args[1]) if len(_args) > 1 else 3
@@ -43,6 +47,7 @@ from ccnet_spark_spark.sources.tables import write_result
 from ccnet_spark_spark.synth import write_pairs
 
 cpus = int(sys.argv[1]); n_rows = int(sys.argv[2]); curated = sys.argv[3] == "1"
+fused = sys.argv[4] == "1"
 spark = get_spark(app_name=f"scaling{cpus}", cores=cpus)
 pairs_path = f"/tmp/ccnet_scaling_pairs_n{n_rows}_p64"
 if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
@@ -53,7 +58,8 @@ if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
     write_pairs(spark, pairs_path, n_rows, partitions=64)
 if curated:
     cfg = Config(cutoffs=load_cutoffs_dict(), image_gates=True, caption_budget=10,
-                 model_gates=True)
+                 model_gates=True,
+                 model_gates_mode="fused" if fused else "join")
 else:
     cfg = Config(cutoffs=load_cutoffs_dict())
 
@@ -66,7 +72,7 @@ def one_pass(tag):
     return time.time() - t0
 
 one_pass("warmup")  # untimed
-print(json.dumps({"cpus": cpus, "n_rows": n_rows, "curated": curated,
+print(json.dumps({"cpus": cpus, "n_rows": n_rows, "curated": curated, "fused": fused,
                   "sec": round(one_pass("timed"), 2)}))
 spark.stop()
 """
@@ -74,7 +80,8 @@ spark.stop()
 
 def run_child(cpus: int) -> float:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(N_ROWS), "1" if CURATED else "0"],
+        [sys.executable, "-c", CHILD, str(cpus), str(N_ROWS), "1" if CURATED else "0",
+         "1" if FUSED else "0"],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -262,6 +262,45 @@ def make_image_resize_expected(n: int = 200, target: int = 16) -> None:
     print(f"image_resize200_expected.parquet: {len(out)} rows")
 
 
+def make_aspect_resize_expected(n: int = 200, divisor: int = 32) -> None:
+    """Expected output of aspect_bucket -> resize_to at test scale: the
+    nearest aspect bucket recomputed INDEPENDENTLY with exact Fractions
+    (the engine uses cross-multiplied int64 keys — agreement IS the
+    check), targets divided by `divisor` (every bucket dim is divisible
+    by 32, keeping test payloads small), then the per-row-target
+    nearest-neighbor resize + ppm re-encode — all-integer, sha256-exact."""
+    from fractions import Fraction
+
+    from ccnet_spark_spark.operators.aspect import BUCKETS
+    from ccnet_spark_spark.synth import gen_pandas
+
+    src = gen_pandas(0, n)
+    rows = []
+    for r in src.itertuples():
+        px = _decode_independent(bytes(r.bytes))
+        h, w = px.shape[0], px.shape[1]
+        _, bid, bw, bh = min(
+            (abs(Fraction(w, h) - Fraction(tw, th)), i, tw, th) for i, tw, th in BUCKETS
+        )
+        tw, th = bw // divisor, bh // divisor
+        ys = np.minimum(np.arange(th) * h // th, h - 1)
+        xs = np.minimum(np.arange(tw) * w // tw, w - 1)
+        data = _encode_ppm_independent(px[np.ix_(ys, xs)])
+        rows.append(
+            {
+                "image_id": r.image_id,
+                "bucket_id": bid,
+                "w": tw,
+                "h": th,
+                "fmt": "ppm",
+                "payload_sha": hashlib.sha256(data).hexdigest(),
+            }
+        )
+    out = pd.DataFrame(rows).astype({"bucket_id": "int32", "w": "int32", "h": "int32"})
+    out.to_parquet(os.path.join(FIXTURES, "aspect_resize200_expected.parquet"), index=False)
+    print(f"aspect_resize200_expected.parquet: {len(out)} rows")
+
+
 def make_image_stats_expected(n: int = 200) -> None:
     from ccnet_spark_spark.synth import gen_pandas
 
@@ -479,6 +518,7 @@ if __name__ == "__main__":
     make_audio_stats_expected()
     make_image_stats_expected()
     make_image_resize_expected()
+    make_aspect_resize_expected()
     make_image_embedding_expected()
     make_caption_embedding_expected()
     # 400-row towers (no plants) for the curated-pipeline oracle
