@@ -1777,7 +1777,13 @@ def q_pairs_pipeline_curated(spark, sf_dir):
         "phash",
     )
     cfg = Config(cutoffs=_cutoffs(), image_gates=True, caption_budget=10, model_gates=True)
-    out = Pipeline(spark, cfg).run(base.unionByName(plants))
+    # materialize the corpus: (a) the curated plan consumes the input on
+    # many branches and the generator would re-run per branch; (b) the
+    # plants' LITERAL caption would otherwise constant-fold through
+    # FoldablePropagation into the budget anti-join's left key, degrading
+    # the equi hash join into a nested-loop existence probe (a test-corpus
+    # artifact — real tables have no foldable caption column)
+    out = Pipeline(spark, cfg).run(base.unionByName(plants).localCheckpoint())
     return out.select(
         "image_id",
         "lang",
@@ -1853,6 +1859,30 @@ def q_shard_assign(spark, sf_dir):
     pairs = generate_pairs(spark, 400)
     return assign_shards(pairs, budget_bytes=32_768, substreams=2).select(
         "image_id", "n_bytes", "shard_id"
+    )
+
+
+def q_webdataset_roundtrip(spark, sf_dir):
+    """Full WebDataset cycle: 300 generated pairs -> byte-budget tar
+    shards (sources/webdataset.py writer, substreams=2 scale form) ->
+    read BACK through the reader (binaryFile tar scan, shard = unit of
+    parallelism, one mapInPandas unpack). The projection is the north
+    rule's per-row invariant: payload byte-identity (sha256 cross-checked
+    against the INDEPENDENT python-hashlib fixture), caption equality,
+    fmt, and size — all against pre-write metadata fixtures, so any
+    corruption anywhere in the tar write/read path breaks the hash."""
+    from ccnet_spark_spark.sources.webdataset import read_webdataset, write_webdataset
+    from ccnet_spark_spark.synth import generate_pairs
+
+    _src, sink, _ckpt = _stream_dirs("webdataset_roundtrip")
+    write_webdataset(generate_pairs(spark, 300), sink, budget_bytes=65_536, substreams=2).collect()
+    back = read_webdataset(spark, sink)
+    return back.select(
+        "image_id",
+        F.length("bytes").cast("long").alias("n_bytes"),
+        "fmt",
+        "caption",
+        F.sha2(F.col("bytes"), 256).alias("payload_sha"),
     )
 
 
@@ -2636,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_bucket_pack": _wrap(q_aspect_bucket_pack),  # new in r5
         "shard_assign": _wrap(q_shard_assign),  # new in r5
         "aspect_resize": _wrap(q_aspect_resize),  # new in r5
+        "webdataset_roundtrip": _wrap(q_webdataset_roundtrip),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3221,6 +3252,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "aspect_resize": (
             f"select * from read_parquet('{_fixture('aspect_resize200_expected.parquet')}')"
+        ),
+        # the pre-write truth: metadata fixture (size/fmt/caption) joined
+        # to the independent-hashlib payload digests — the tar write/read
+        # cycle must reproduce every column
+        "webdataset_roundtrip": (
+            "select m.image_id, cast(m.n_bytes as bigint) as n_bytes, m.fmt, "
+            "m.caption, s.payload_sha "
+            f"from read_parquet('{_fixture('pairs400_meta.parquet')}') m "
+            f"join read_parquet('{_fixture('pairs300_payload_sha.parquet')}') s "
+            "using (image_id)"
         ),
         # identical per-stream byte prefix sums + stream-offset shard ids
         # over the metadata fixture's n_bytes

@@ -138,6 +138,60 @@ def _tar_bytes(rows) -> bytes:
     return buf.getvalue()
 
 
+def read_webdataset(spark, path: str, caption_required: bool = False) -> DataFrame:
+    """Read webdataset tar shards back into a pairs DataFrame
+    (image_id, bytes, fmt, caption) — the SOURCE half of this module,
+    and the exact shape a training job's data loader implements: the
+    shard (tar file) is the unit of parallelism, each task streams
+    whole archives sequentially (no random access, no per-sample file
+    listing — the point of the format at 10^12 samples).
+
+    Spark-first: the built-in `binaryFile` source lists + reads the
+    tars (so globbing, partition sizing, and locality are Catalyst's
+    problem), then ONE mapInPandas unpacks samples — members are
+    grouped by key, `<key>.txt` becomes the caption (NULL when the
+    member is absent, mirroring the writer), any other extension is
+    the payload with `fmt` = extension. caption_required=True drops
+    caption-less samples at the source (the common training filter)."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    samples: dict[str, dict] = {}
+                    for member in tar:
+                        if not member.isfile():
+                            continue
+                        key, _, ext = member.name.rpartition(".")
+                        data = tar.extractfile(member).read()
+                        s = samples.setdefault(key, {"caption": None})
+                        if ext == "txt":
+                            s["caption"] = data.decode("utf-8")
+                        else:
+                            s["bytes"], s["fmt"] = bytearray(data), ext
+                    for key, s in samples.items():
+                        if "bytes" not in s:
+                            continue  # caption-only orphan: no trainable payload
+                        if caption_required and s["caption"] is None:
+                            continue
+                        rows.append(
+                            {
+                                "image_id": key,
+                                "bytes": s["bytes"],
+                                "fmt": s["fmt"],
+                                "caption": s["caption"],
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "caption"])
+
+    tars = spark.read.format("binaryFile").load(os.path.join(path, "*.tar"))
+    return tars.select("content").mapInPandas(
+        op, schema="image_id string, bytes binary, fmt string, caption string"
+    )
+
+
 def write_webdataset(
     df: DataFrame,
     path: str,

@@ -101,3 +101,71 @@ def test_write_webdataset_null_caption_omitted(spark, tmp_path):
     for m in manifest:
         with tarfile.open(m["tar_path"]) as tar:
             assert all(not n.endswith(".txt") for n in tar.getnames())
+
+
+def test_read_webdataset_roundtrip(spark, tmp_path):
+    """Reader reconstructs the written corpus exactly: payload bytes,
+    fmt from the member extension, caption from the .txt member (NULL
+    when absent)."""
+    from ccnet_spark_spark.sources.webdataset import read_webdataset
+
+    pairs = generate_pairs(spark, 50).withColumn(
+        "caption", F.when(F.col("image_id") != "img0000000003", F.col("caption"))
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(pairs, out, budget_bytes=65_536, substreams=2).collect()
+    back = {
+        r["image_id"]: (bytes(r["bytes"]), r["fmt"], r["caption"])
+        for r in read_webdataset(spark, out).collect()
+    }
+    src = {
+        r["image_id"]: (bytes(r["bytes"]), r["fmt"], r["caption"])
+        for r in pairs.select("image_id", "bytes", "fmt", "caption").collect()
+    }
+    assert back == src
+    assert back["img0000000003"][2] is None
+
+
+def test_read_webdataset_caption_required(spark, tmp_path):
+    from ccnet_spark_spark.sources.webdataset import read_webdataset
+
+    pairs = generate_pairs(spark, 6).withColumn(
+        "caption", F.when(F.col("image_id") > "img0000000002", F.col("caption"))
+    )
+    out = str(tmp_path / "wreq")
+    write_webdataset(pairs, out, budget_bytes=65_536).collect()
+    got = sorted(r["image_id"] for r in read_webdataset(spark, out, caption_required=True).collect())
+    assert got == ["img0000000003", "img0000000004", "img0000000005"]
+
+
+def test_read_webdataset_skips_caption_only_orphans(spark, tmp_path):
+    """A tar member set with a .txt but no payload (half-written sample)
+    yields no row instead of a NULL-bytes row."""
+    import io
+    import tarfile as tf
+
+    from ccnet_spark_spark.sources.webdataset import read_webdataset
+
+    out = tmp_path / "orph"
+    out.mkdir()
+    buf = io.BytesIO()
+    with tf.open(fileobj=buf, mode="w", format=tf.USTAR_FORMAT) as tar:
+        for name, data in [("good.ppm", b"P6 1 1 255 abc"), ("good.txt", b"cap"),
+                           ("orphan.txt", b"no payload")]:
+            info = tf.TarInfo(name=name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    (out / "shard-000000000000.tar").write_bytes(buf.getvalue())
+    rows = read_webdataset(spark, str(out)).collect()
+    assert [(r["image_id"], r["caption"]) for r in rows] == [("good", "cap")]
+
+
+def test_read_webdataset_shard_is_partition_unit(spark, tmp_path):
+    """The tar scan parallelizes across shards: the binaryFile relation
+    carries one row per tar, so tasks stream whole archives."""
+    from ccnet_spark_spark.sources.webdataset import read_webdataset
+
+    out = str(tmp_path / "par")
+    manifest = write_webdataset(generate_pairs(spark, 80), out, budget_bytes=16_384).collect()
+    assert len(manifest) > 2
+    assert read_webdataset(spark, out).count() == 80
