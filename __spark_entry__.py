@@ -935,6 +935,20 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_lang_quota(spark, sf_dir):
+    """Absolute per-group cap (sample.group_quota): keep at most 70 docs
+    per language, selected as the 70 smallest (sha256(id), id) pairs —
+    the LAION-style balancing knob when the target is a hard cap, not a
+    rate. Scale shape: the quota-th hash per group (the CUTOFF) comes
+    from a window over a NARROW (group, id, hash) projection, broadcasts
+    as a threshold table, and filters the full rows scan-side — payload
+    never shuffles. At sf0.01 the quota caps en/zh/es, leaves fr under
+    it, and keeps de (exactly 70) whole through the <= boundary."""
+    return sample.group_quota(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "lang", 70, id_col="doc_id"
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Corpus TF-IDF, top-3 terms per document — the classic two-shuffle
     analytic: tf = groupBy(doc, term) count (map-side partial agg), df =
@@ -2667,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": _wrap(q_shard_assign),  # new in r5
         "aspect_resize": _wrap(q_aspect_resize),  # new in r5
         "webdataset_roundtrip": _wrap(q_webdataset_roundtrip),  # new in r5
+        "lang_quota": _wrap(q_lang_quota),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3438,6 +3453,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": (
             "select doc_id, lang from documents where "
             + sample.stratified_hash_sample_sql("doc_id", "lang", _STRATA_RATES, default_256=0)
+        ),
+        "lang_quota": sample.group_quota_sql(
+            "(select doc_id, lang from documents)", "lang", 70, "doc_id"
         ),
         "pack_sequences": (
             f"select doc_id, lang, {textstats.token_count_sql('text')} as tokens, "

@@ -98,3 +98,73 @@ def stratified_hash_sample_sql(
         f"substr(sha256(cast({id_expr} as varchar)), 1, 2) < "
         f"(case {arms} else '{thr(default_256)}' end)"
     )
+
+
+def group_quota(
+    df: DataFrame, group_col: str, quota: int, id_col: str | Column = "image_id"
+) -> DataFrame:
+    """Keep AT MOST `quota` rows per group, deterministically — the
+    LAION/DataComp balancing knob (cap the head language / domain /
+    source at K rows) where stratified_hash_sample's fixed RATES don't
+    fit because group sizes are unknown or the target is an absolute cap.
+
+    Selection = the quota smallest (sha256(id), id) pairs per group:
+    content-defined, so the kept set is identical across engines, stage
+    retries and cluster layouts, and uniformly random w.r.t. any data
+    ordering.
+
+    Scale shape — the payload never shuffles: the quota-th smallest hash
+    per group (the CUTOFF) is computed on a NARROW (group, id, hash)
+    projection (one window shuffle of ids only), broadcast as a
+    per-group threshold table, and applied as a scan-side predicate on
+    the full rows — the learned-threshold version of
+    stratified_hash_sample. Groups smaller than the quota produce no
+    cutoff row and are kept whole; NULL groups are one group
+    (null-safe join). Assumes id_col is unique (the boundary tie-break
+    compares ids)."""
+    if quota <= 0:
+        raise ValueError(f"quota must be positive, got {quota}")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.sha2(c.cast("string"), 256)
+
+    from pyspark.sql.window import Window
+
+    narrow = df.select(
+        F.col(group_col).alias("__gq_g"), c.alias("__gq_id"), h.alias("__gq_h")
+    )
+    w = Window.partitionBy("__gq_g").orderBy("__gq_h", "__gq_id")
+    cut = (
+        narrow.withColumn("__gq_rn", F.row_number().over(w))
+        .where(F.col("__gq_rn") == quota)
+        .select(
+            "__gq_g",
+            F.col("__gq_h").alias("__gq_cut_h"),
+            F.col("__gq_id").alias("__gq_cut_id"),
+        )
+    )
+    joined = df.join(
+        F.broadcast(cut), df[group_col].eqNullSafe(F.col("__gq_g")), "left"
+    )
+    keep = (
+        F.col("__gq_cut_h").isNull()
+        | (h < F.col("__gq_cut_h"))
+        | ((h == F.col("__gq_cut_h")) & (c <= F.col("__gq_cut_id")))
+    )
+    return joined.where(keep).drop("__gq_g", "__gq_cut_h", "__gq_cut_id")
+
+
+def group_quota_sql(table: str, group_expr: str, quota: int, id_expr: str) -> str:
+    """DuckDB twin: identical window cutoff + identical boundary
+    predicate (sha256 hex strings compare identically in both engines)."""
+    h = f"sha256(cast({id_expr} as varchar))"
+    return (
+        f"with __t as (select * from {table}), "
+        f"__cut as (select __gq_g, __gq_h as __cut_h, __gq_id as __cut_id from ("
+        f"select {group_expr} as __gq_g, {id_expr} as __gq_id, {h} as __gq_h, "
+        f"row_number() over (partition by {group_expr} order by {h}, {id_expr}) as __rn "
+        f"from __t) where __rn = {quota}) "
+        f"select __t.* from __t left join __cut "
+        f"on {group_expr} is not distinct from __cut.__gq_g "
+        f"where __cut.__cut_h is null or {h} < __cut.__cut_h "
+        f"or ({h} = __cut.__cut_h and {id_expr} <= __cut.__cut_id)"
+    )
