@@ -140,9 +140,16 @@ def main() -> None:
     # SAME corpus — metadata gates (scan predicate) -> boilerplate-caption
     # budget (one window-count shuffle) -> model gates (decode survivors
     # once; aesthetic/NSFW heads + caption-image alignment) -> the full
-    # caption pipeline. The decode-bearing end-to-end number.
+    # caption pipeline. The decode-bearing end-to-end number. Model-gate
+    # stage runs the FUSED passthrough (measured faster end-to-end than
+    # the join form: 6-round interleaved A/B at 240k/local[32] min 6.3 vs
+    # 10.6 s — BENCH.md round 5; row-equal by pytest pin).
     curated_cfg = Config(
-        cutoffs=load_cutoffs_dict(), image_gates=True, caption_budget=10, model_gates=True
+        cutoffs=load_cutoffs_dict(),
+        image_gates=True,
+        caption_budget=10,
+        model_gates=True,
+        model_gates_mode="fused",
     )
     t0 = time.time()
     curated = Pipeline(spark, curated_cfg).run(spark.read.parquet(pairs_path)).drop("bytes")

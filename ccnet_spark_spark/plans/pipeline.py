@@ -175,11 +175,20 @@ class Pipeline:
 
             if cfg.model_gates_mode == "fused":
                 # zero-shuffle form: verdicts ride the row through one
-                # Arrow crossing (see Config.model_gates_mode)
+                # Arrow crossing (see Config.model_gates_mode). The
+                # survivors are materialized ONCE: downstream the caption
+                # pipeline consumes this frame on several plan branches
+                # (the line-dedup join-back), and without a checkpoint
+                # every branch would re-run the decode+towers crossing —
+                # measured 2.5x end-to-end at 240k rows. This is the
+                # fused form's real cost at scale: it materializes
+                # payload rows, where the join form checkpoints only the
+                # 64-float embedding sidecar.
                 df = (
                     model_gate_passthrough(df, tau=cfg.align_tau)
                     .where(F.col("model_keep") & F.col("aligned"))
                     .drop("model_keep", "aligned")
+                    .localCheckpoint()
                 )
             else:
                 # decode ONCE: the image tower feeds both heads and
