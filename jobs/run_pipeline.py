@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     ap.add_argument("--trim-passages", action="store_true", help="cut corpus-duplicated token passages out of the deduped text (engine addition)")
     ap.add_argument("--passage-gram-n", type=int, default=8)
     ap.add_argument("--image-gates", action="store_true", help="apply LAION-style image metadata + caption gates as the first filter (requires pair columns w/h/fmt/bytes)")
+    ap.add_argument("--caption-budget", type=int, default=None, help="drop rows whose normalized caption repeats more than N times (boilerplate/stock-caption gate)")
+    ap.add_argument("--model-gates", action="store_true", help="aesthetic/NSFW linear heads + caption-image alignment over the image embedding (full DataComp cascade with --image-gates and --caption-budget)")
+    ap.add_argument("--model-gates-mode", default="join", choices=["join", "fused"], help="join = narrow id keep-sets semi-joined back; fused = one mapInPandas appends verdicts to the full row (zero shuffle, materializes survivors)")
+    ap.add_argument("--align-tau", type=float, default=0.1, help="caption-image alignment cosine threshold")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -70,6 +74,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         passage_trim=args.trim_passages,
         passage_gram_n=args.passage_gram_n,
         image_gates=args.image_gates,
+        caption_budget=args.caption_budget,
+        model_gates=args.model_gates,
+        model_gates_mode=args.model_gates_mode,
+        align_tau=args.align_tau,
         steps=[st for st in ALL_STEPS if st != "lid"] if args.lang_col else list(ALL_STEPS),
     )
     pipe = Pipeline(spark, cfg)

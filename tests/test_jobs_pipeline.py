@@ -73,3 +73,28 @@ def test_run_pipeline_cli_image_gates(spark, tmp_path):
     pairs = spark.read.parquet(inp)
     expected = pairs.filter(keep_expr(ImageGateConfig(), "caption")).count()
     assert n == expected
+
+
+def test_run_pipeline_cli_curated_fused_matches_join(spark, tmp_path):
+    """The full curated cascade through the CLI, both model-gate modes:
+    identical surviving rows (the pytest pin, driven via spark-submit
+    flags), and the curated output is a strict subset of the corpus."""
+    inp = _write_pairs(spark, tmp_path, n=120)
+    outs = {}
+    for mode in ("join", "fused"):
+        out = str(tmp_path / f"out_curated_{mode}")
+        rc = run_pipeline.main(
+            [
+                "--input", inp, "--output", out, "--cutoffs", CUTOFFS,
+                "--min-len", "50", "--image-gates", "--caption-budget", "10",
+                "--model-gates", "--model-gates-mode", mode,
+            ],
+            stop_session=False,
+        )
+        assert rc == 0
+        res = spark.read.parquet(out)
+        outs[mode] = sorted(
+            (r["image_id"], r["keep"], r["scrubbed_caption"]) for r in res.collect()
+        )
+        assert 0 < len(outs[mode]) < 120
+    assert outs["join"] == outs["fused"]
