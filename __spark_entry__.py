@@ -949,6 +949,29 @@ def q_lang_quota(spark, sf_dir):
     )
 
 
+# mixture weights for q_mix_repeat: downsample the head language to half
+# an epoch, upsample fr to 2 epochs and zh to 1.5, everything else 1.0
+_MIX_FACTORS = {"en": 0.5, "fr": 2.0, "zh": 1.5}
+
+
+def q_mix_repeat(spark, sf_dir):
+    """Training-mixture assembly (sample.weighted_repeat): per-language
+    epoch factors materialized as row copies — the Pile/DoReMi weighting
+    applied at corpus-assembly time. Fractional factors select the extra
+    copy deterministically per id (content-hash prefix under the
+    fraction, on a decorrelated sha256(id||':rep') hash), so factor 0.5
+    halves en and 1.5 gives every zh doc one copy plus a ~50% second.
+    Broadcast factors + map-side explode — NO shuffle; copy_idx
+    distinguishes copies for downstream sharding."""
+    return sample.weighted_repeat(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang",
+        _MIX_FACTORS,
+        default=1.0,
+        id_col="doc_id",
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Corpus TF-IDF, top-3 terms per document — the classic two-shuffle
     analytic: tf = groupBy(doc, term) count (map-side partial agg), df =
@@ -2682,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_resize": _wrap(q_aspect_resize),  # new in r5
         "webdataset_roundtrip": _wrap(q_webdataset_roundtrip),  # new in r5
         "lang_quota": _wrap(q_lang_quota),  # new in r5
+        "mix_repeat": _wrap(q_mix_repeat),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3456,6 +3480,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_quota": sample.group_quota_sql(
             "(select doc_id, lang from documents)", "lang", 70, "doc_id"
+        ),
+        "mix_repeat": sample.weighted_repeat_sql(
+            "(select doc_id, lang from documents)",
+            "lang",
+            _MIX_FACTORS,
+            default=1.0,
+            id_expr="doc_id",
         ),
         "pack_sequences": (
             f"select doc_id, lang, {textstats.token_count_sql('text')} as tokens, "

@@ -168,3 +168,96 @@ def group_quota_sql(table: str, group_expr: str, quota: int, id_expr: str) -> st
         f"where __cut.__cut_h is null or {h} < __cut.__cut_h "
         f"or ({h} = __cut.__cut_h and {id_expr} <= __cut.__cut_id)"
     )
+
+
+def weighted_repeat(
+    df: DataFrame,
+    stratum_col: str,
+    factors: dict[str, float],
+    default: float = 1.0,
+    id_col: str | Column = "image_id",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a training MIXTURE: each stratum's rows repeat
+    `factors[stratum]` times — the Pile/DoReMi-style epoch weighting
+    (upsample high-quality / tail strata, downsample the head) applied
+    at corpus-assembly time so the training loader stays a sequential
+    shard reader.
+
+    Fractional factors are deterministic per row: factor 2.3 = 2 full
+    copies + a third copy for the ~30% of ids whose content-hash prefix
+    falls under the fraction (the hash_sample trick on a decorrelated
+    hash — sha256(id || ':rep')). Factor 0.x downsamples; factor 0
+    drops the stratum. copy_idx (1..n) distinguishes copies for
+    downstream shuffling/sharding.
+
+    Scale shape: a broadcast factors table + a map-side explode of
+    sequence(1, n_copies) — NO shuffle; output volume is the mixture's
+    by construction. Deterministic across engines/retries/layouts, so
+    the DuckDB twin reproduces it row-for-row."""
+    spark = df.sparkSession
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if any(f < 0 for f in factors.values()) or default < 0:
+        raise ValueError("repeat factors must be >= 0")
+
+    def split(f: float) -> tuple[int, str]:
+        whole = int(f)
+        frac_256 = round((f - whole) * 256)
+        # '00' = no fractional copy; frac rounds to a 0..256 rate
+        if frac_256 >= 256:  # e.g. 1.999 -> just another whole copy
+            return whole + 1, "00"
+        return whole, "zz" if frac_256 == 256 else format(frac_256, "02x") if frac_256 else "00"
+
+    rows = [(s, *split(f)) for s, f in sorted(factors.items())]
+    fdf = spark.createDataFrame(rows, "__rep_stratum string, __rep_whole int, __rep_thr string")
+    d_whole, d_thr = split(default)
+    prefix = F.substring(F.sha2(F.concat(c.cast("string"), F.lit(":rep")), 256), 1, 2)
+    joined = df.join(
+        F.broadcast(fdf), df[stratum_col] == fdf["__rep_stratum"], "left"
+    )
+    n = F.coalesce(F.col("__rep_whole"), F.lit(d_whole)) + F.when(
+        prefix < F.coalesce(F.col("__rep_thr"), F.lit(d_thr)), F.lit(1)
+    ).otherwise(F.lit(0))
+    # sequence(1, 0) is DESCENDING in Spark, not empty — guard explicitly
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    return (
+        joined.withColumn(copy_col, F.explode(seq))
+        .drop("__rep_stratum", "__rep_whole", "__rep_thr")
+    )
+
+
+def weighted_repeat_sql(
+    table: str,
+    stratum_expr: str,
+    factors: dict[str, float],
+    default: float = 1.0,
+    id_expr: str = "image_id",
+    copy_col: str = "copy_idx",
+) -> str:
+    """DuckDB twin: factors CASE chains + unnest(range(1, n+1)) — range
+    with an empty interval yields no rows, matching the guarded
+    sequence."""
+
+    def split(f: float) -> tuple[int, str]:
+        whole = int(f)
+        frac_256 = round((f - whole) * 256)
+        if frac_256 >= 256:
+            return whole + 1, "00"
+        return whole, "zz" if frac_256 == 256 else format(frac_256, "02x") if frac_256 else "00"
+
+    whole_arms = " ".join(
+        f"when {stratum_expr} = '{s}' then {split(f)[0]}" for s, f in sorted(factors.items())
+    )
+    thr_arms = " ".join(
+        f"when {stratum_expr} = '{s}' then '{split(f)[1]}'" for s, f in sorted(factors.items())
+    )
+    d_whole, d_thr = split(default)
+    prefix = f"substr(sha256(cast({id_expr} as varchar) || ':rep'), 1, 2)"
+    n = (
+        f"((case {whole_arms} else {d_whole} end) + "
+        f"(case when {prefix} < (case {thr_arms} else '{d_thr}' end) then 1 else 0 end))"
+    )
+    return (
+        f"select __t.*, cast(u.gs as int) as {copy_col} from {table} as __t, "
+        f"lateral unnest(range(1, {n} + 1)) as u(gs)"
+    )
