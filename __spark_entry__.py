@@ -1923,6 +1923,44 @@ def q_webdataset_roundtrip(spark, sf_dir):
     )
 
 
+def q_image_decontaminate(spark, sf_dir):
+    """IMAGE-side eval-set decontamination (the phash analog of
+    `decontaminate`): drop every training pair whose perceptual hash is
+    within hamming radius 3 of an evaluation-set image fingerprint, so
+    eval images — and their crops/re-encodes, which move a few phash
+    bits — never leak into training data. The eval set is 40
+    fingerprints: 10 low-bit perturbations (hamming 2, caught by the
+    pass-0 top-16 bucket), 10 TOP-window perturbations (bits 50+55 —
+    only a rotated pass buckets them), 10 three-window spans (bits
+    5+25+45 — exactly one clean window remains), and 10 far hashes
+    (32 bits flipped) that must match nothing. With prefix_bits=16 x
+    passes=4, any pair at hamming <= 3 has a clean 16-bit window, so
+    recall is exact and the DuckDB twin is the plain all-pairs radius
+    predicate — no bucket simulation. Expected survivors: 400 - 30."""
+    from ccnet_spark_spark.synth import generate_pairs
+
+    # localCheckpoint: the narrow (id, phash) projection feeds FIVE plan
+    # branches (four eval slices + the anti-join left side) — without it
+    # each branch re-runs the pair generator incl. image payloads
+    base = generate_pairs(spark, 400).select("image_id", "phash").localCheckpoint()
+
+    def _slice(lo: int, hi: int, flip: int):
+        return base.where(
+            (F.col("image_id") >= f"img{lo:010d}") & (F.col("image_id") < f"img{hi:010d}")
+        ).select(F.col("phash").bitwiseXOR(F.lit(flip)).alias("eval_phash"))
+
+    evals = (
+        _slice(0, 10, 5)
+        .union(_slice(10, 20, (1 << 50) | (1 << 55)))
+        .union(_slice(20, 30, (1 << 5) | (1 << 25) | (1 << 45)))
+        .union(_slice(30, 40, 0x00FF00FF00FF00FF))
+    )
+    return dedup.hash64_decontaminate(
+        base, evals, "image_id", "phash", eval_hash_col="eval_phash",
+        prefix_bits=16, max_hamming=3, passes=4,
+    )
+
+
 def q_phash_neardup(spark, sf_dir):
     """IMAGE near-dup via perceptual hash: bucket the pairs table's phash
     column by its top 16 bits, verify candidates by popcount(xor) <= 8 —
@@ -2672,16 +2710,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 5 never-driver-recorded queries (the 3
+    # coverage. This round: the 21 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 2 new r5 queries bpe_train_batched and
-    # corpus_build_trim) lead, followed by 45 SENTINELS spanning every
-    # family (relational core, pipeline flagships, quality gates,
-    # near-dup/clustering, trainers, sampling, analytics, ANN,
-    # multimodal, sources, streaming) — a larger cross-section than r4
-    # kept, so a regression in any mature family still fails the
-    # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 114 contract queries.
+    # semdedup — plus the 18 queries added in r5) lead, followed by 29
+    # SENTINELS spanning every family (relational core, pipeline
+    # flagships, quality gates, near-dup/clustering, trainers, sampling,
+    # analytics, ANN, multimodal, sources, streaming) — a larger
+    # cross-section than r4 kept, so a regression in any mature family
+    # still fails the external gate (r4 ADVICE #3). With this rotation
+    # the union of r1-r5 driver-recorded keys covers all 121 contract
+    # queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -2706,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_roundtrip": _wrap(q_webdataset_roundtrip),  # new in r5
         "lang_quota": _wrap(q_lang_quota),  # new in r5
         "mix_repeat": _wrap(q_mix_repeat),  # new in r5
+        "image_decontaminate": _wrap(q_image_decontaminate),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -2729,14 +2768,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _wrap(q_minhash_dedup),
         "lsh_then_jaccard": _wrap(q_lsh_then_jaccard),
         "simhash_neardup": _wrap(q_simhash_neardup),
-        "phash_neardup": _wrap(q_phash_neardup),
         "decontaminate": _wrap(q_decontaminate),
         "incremental_dedup_bloom": _wrap(q_incremental_dedup_bloom),
-        "dup_passages": _wrap(q_dup_passages),
+        # streaming canaries stay in-window (no new r5 streaming query
+        # covers the family); phash_neardup / dup_passages rotated below
+        # — their machinery is exercised in-window by phash_clusters /
+        # image_decontaminate and dup_passage_stats / corpus_build_trim
+        "streaming_dedup": _wrap(q_streaming_dedup),
+        "foreach_batch_sink": _wrap(q_foreach_batch_sink),
         "bpe_train": _wrap(q_bpe_train),
         "cutoff_train": _wrap(q_cutoff_train),
         "hash_sample": _wrap(q_hash_sample),
         "tfidf_topk": _wrap(q_tfidf_topk),
+        # ---------------- position > 50: checked by tools/check_oracle.py
+        # ---------------- every round; all have at least one
+        # ---------------- driver-recorded green row from rounds 1-4
         "inverted_index": _wrap(q_inverted_index),
         "ivf_exhaustive": _wrap(q_ivf_exhaustive),
         "image_stats": _wrap(q_image_stats),
@@ -2744,13 +2790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_passthrough": _wrap(q_payload_passthrough),
         "pairs_source": _wrap(q_pairs_source),
         "custom_sink_roundtrip": _wrap(q_custom_sink_roundtrip),
-        "streaming_dedup": _wrap(q_streaming_dedup),
         "streaming_dedup_native": _wrap(q_streaming_dedup_native),
         "stream_stream_join": _wrap(q_stream_stream_join),
-        "foreach_batch_sink": _wrap(q_foreach_batch_sink),
-        # ---------------- position > 50: checked by tools/check_oracle.py
-        # ---------------- every round; all have at least one
-        # ---------------- driver-recorded green row from rounds 1-4
+        "phash_neardup": _wrap(q_phash_neardup),
+        "dup_passages": _wrap(q_dup_passages),
         "minhash_pairs": _wrap(q_minhash_pairs),  # rotated below in r5 (family
         # still in-window via minhash_dedup + lsh_then_jaccard) to make room
         # for image_quality_gates
@@ -3883,6 +3926,25 @@ def oracle_sql() -> dict[str, str]:
             f"and ((xor(a.phash, b.phash) & ({-(1 << 48)})::bigint) = 0 "
             f"or (xor(a.phash, b.phash) & {(1 << 48) - (1 << 32)}) = 0)"
             ") where hamming <= 8"
+        ),
+        "image_decontaminate": (
+            f"with base as (select image_id, phash from "
+            f"read_parquet('{_fixture('pairs400_phash.parquet')}')), "
+            "evals as ("
+            "select xor(phash, 5) as eval_phash from base "
+            "where image_id < 'img0000000010' "
+            f"union all select xor(phash, {(1 << 50) | (1 << 55)}) from base "
+            "where image_id >= 'img0000000010' and image_id < 'img0000000020' "
+            f"union all select xor(phash, {(1 << 5) | (1 << 25) | (1 << 45)}) from base "
+            "where image_id >= 'img0000000020' and image_id < 'img0000000030' "
+            f"union all select xor(phash, {0x00FF00FF00FF00FF}) from base "
+            "where image_id >= 'img0000000030' and image_id < 'img0000000040') "
+            # the exact all-pairs radius predicate IS the contract: with
+            # prefix_bits=16 x passes=4 the Spark side's bucket recall is
+            # total at hamming <= 3 (one clean window always exists)
+            "select image_id, phash from base c where not exists ("
+            "select 1 from evals e "
+            "where bit_count(xor(c.phash, e.eval_phash)) <= 3)"
         ),
         "json_source": _DOCS_PARQUET_SQL,
         "csv_source": _DOCS_PARQUET_SQL,

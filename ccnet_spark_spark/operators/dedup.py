@@ -459,6 +459,70 @@ def decontaminate_sql(
     )
 
 
+def hash64_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    eval_hash_col: str | None = None,
+    prefix_bits: int = 16,
+    max_hamming: int = 3,
+    passes: int = 4,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """IMAGE-side benchmark decontamination — the perceptual-hash analog of
+    decontaminate(): drop every training row whose 64-bit fingerprint
+    (phash) is within hamming radius max_hamming of ANY evaluation-set
+    fingerprint, so eval images (and their crops/re-encodes, which move a
+    few phash bits) never leak into training data. DataComp/LAION-style
+    hygiene the text 8-gram pass cannot see.
+
+    Shape (10^12-safe): the eval set is tiny relative to the corpus, so its
+    (hash, bucket) projection is BROADCAST (broadcast_eval=False falls back
+    to a shuffle join); the corpus is bucketed by the top prefix_bits of
+    the hash per rotated pass — same rotate-left trick as
+    hash64_neardup_pairs, a cross-set bucket join instead of a self-join —
+    and candidates verify by exact popcount(xor) <= max_hamming in pure JVM
+    bit ops. Hit ids anti-join the full rows; the corpus is never compared
+    against itself and the payload never enters the join.
+
+    EXACTNESS: rotation preserves hamming distance, so a pair whose
+    differing bits all avoid one prefix_bits-wide window shares a bucket in
+    the pass that rotates that window to the top. With the defaults
+    (prefix_bits=16, passes=4 => 4 disjoint clean-window candidates) any
+    pair at hamming <= 3 has at least one clean window — recall is 100%,
+    not approximate, which is what lets the DuckDB oracle be the plain
+    all-pairs radius predicate. Raising max_hamming above passes-1 trades
+    that guarantee for recall-by-rotation (documented in
+    hash64_neardup_pairs)."""
+    ehash = eval_hash_col or hash_col
+    corpus = df.select(F.col(id_col), F.col(hash_col).alias("_h"))
+    evals = eval_df.select(F.col(ehash).alias("_eh"))
+    hits = []
+    for p in range(max(passes, 1)):
+        rot = (p * prefix_bits) % 64
+
+        def _bucket(col: Column) -> Column:
+            rotated = (
+                col if rot == 0 else F.shiftleft(col, rot).bitwiseOR(F.shiftrightunsigned(col, 64 - rot))
+            )
+            return F.shiftrightunsigned(rotated, 64 - prefix_bits)
+
+        eside = evals.select("_eh", _bucket(F.col("_eh")).alias("_bucket"))
+        if broadcast_eval:
+            eside = F.broadcast(eside)
+        hits.append(
+            corpus.withColumn("_bucket", _bucket(F.col("_h")))
+            .join(eside, "_bucket")
+            .where(hashing.hamming64_expr(F.col("_h"), F.col("_eh")) <= max_hamming)
+            .select(id_col)
+        )
+    contaminated = hits[0]
+    for extra in hits[1:]:
+        contaminated = contaminated.union(extra)
+    return df.join(contaminated.distinct(), id_col, "left_anti")
+
+
 def build_bloom_words(hashes: DataFrame, hv_col: str, m_bits: int = 1 << 17, k: int = 5) -> list[int]:
     """Distributed Bloom-filter build as ONE narrow Spark aggregation, no
     Python in the plan: each hash explodes into its k bit positions

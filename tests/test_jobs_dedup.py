@@ -75,3 +75,36 @@ def test_run_dedup_incremental_bloom(spark, corpus_paths, tmp_path):
     a = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp / "out_inc")).collect())
     b = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp / "out_inc_bloom")).collect())
     assert a == b == list(range(20, 40))  # committed + their dups gone, batch-dups collapsed
+
+
+def test_run_dedup_decontaminate(spark, tmp_path):
+    """--mode decontaminate: rows whose fingerprint sits within the radius
+    of an eval-set fingerprint are dropped; --eval-set is required."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    hashes = [int(h) for h in rng.integers(-(1 << 63), 1 << 63, size=60, dtype=np.int64)]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], ["doc_id", "phash"]
+    )
+    # eval set: perturbations of rows 0-4 at hamming 2 (one low window,
+    # one top window) + one far hash
+    evals = spark.createDataFrame(
+        [(hashes[i] ^ 3,) for i in range(3)]
+        + [(hashes[i] ^ ((1 << 50) | (1 << 55)),) for i in range(3, 5)]
+        + [(hashes[5] ^ 0x0F0F0F0F0F0F,)],
+        ["phash"],
+    )
+    inp, ev, out = str(tmp_path / "in"), str(tmp_path / "ev"), str(tmp_path / "out")
+    df.write.parquet(inp)
+    evals.write.parquet(ev)
+    assert run_dedup.main(
+        ["--input", inp, "--output", out, "--mode", "decontaminate", "--eval-set", ev]
+    ) == 0
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids == sorted(set(range(60)) - set(range(5)))
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        run_dedup.main(["--input", inp, "--output", out, "--mode", "decontaminate"])

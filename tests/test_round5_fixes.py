@@ -567,3 +567,62 @@ def test_weighted_repeat_validates(spark):
 
     with _pytest.raises(ValueError, match="factors"):
         weighted_repeat(generate_pairs(spark, 2), "fmt", {"ppm": -1.0})
+
+
+# ------------------------------------------------- image decontamination
+
+
+def test_hash64_decontaminate_exact_vs_bruteforce(spark):
+    """EXACTNESS of the rotated-prefix bucket recall: with prefix_bits=16
+    and passes=4, the operator must equal the brute-force all-pairs radius
+    predicate at max_hamming <= 3 on seeded-random 64-bit fingerprints
+    (that equality is what licenses the plain-SQL DuckDB oracle)."""
+    import numpy as np
+
+    from ccnet_spark_spark.operators.dedup import hash64_decontaminate
+
+    rng = np.random.default_rng(7)
+    corpus_h = rng.integers(-(1 << 63), 1 << 63, size=200, dtype=np.int64)
+    # eval = 25 perturbations of corpus hashes at hamming 1..3 with bit
+    # positions spread across all four 16-bit windows + 15 fresh randoms
+    evals = []
+    for i in range(25):
+        bits = rng.choice(64, size=(i % 3) + 1, replace=False)
+        h = int(corpus_h[i * 7])
+        for b in bits:
+            h ^= 1 << int(b)
+        evals.append(h - (1 << 64) if h >= 1 << 63 else h)
+    evals += [int(x) for x in rng.integers(-(1 << 63), 1 << 63, size=15, dtype=np.int64)]
+
+    df = spark.createDataFrame(
+        [(f"id{i:04d}", int(h)) for i, h in enumerate(corpus_h)], "id string, h long"
+    )
+    edf = spark.createDataFrame([(h,) for h in evals], "eh long")
+    got = sorted(
+        r.id
+        for r in hash64_decontaminate(
+            df, edf, "id", "h", eval_hash_col="eh", prefix_bits=16, max_hamming=3, passes=4
+        ).collect()
+    )
+    mask = (1 << 64) - 1
+    want = sorted(
+        f"id{i:04d}"
+        for i, h in enumerate(corpus_h)
+        if all(bin((int(h) ^ e) & mask).count("1") > 3 for e in evals)
+    )
+    assert got == want
+    assert len(want) < 200  # the planted perturbations actually removed rows
+
+
+def test_hash64_decontaminate_plan_broadcasts_eval(spark):
+    """The eval side must reach the join as a broadcast (no shuffle of the
+    corpus beyond the bucket projection) and the anti-join must prune the
+    payload from the hit-id plan branches."""
+    from ccnet_spark_spark.operators.dedup import hash64_decontaminate
+    from ccnet_spark_spark.synth import generate_pairs
+
+    base = generate_pairs(spark, 50).select("image_id", "phash")
+    edf = base.limit(5).select(base.phash.alias("eval_phash"))
+    out = hash64_decontaminate(base, edf, "image_id", "phash", eval_hash_col="eval_phash")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
