@@ -1923,6 +1923,55 @@ def q_webdataset_roundtrip(spark, sf_dir):
     )
 
 
+def q_image_metadata_scrub(spark, sf_dir):
+    """Image-side PII scrub (the payload analog of the caption regex
+    scrub): PPM/Netpbm header comments are the carrier for EXIF-ish
+    creator/GPS tags, so the query PLANTS metadata into the generated
+    payloads — ids < 30 get a creator AND a GPS comment, ids < 100 get a
+    creator comment, the rest stay canonical — then strips it with
+    `multimodal.scrub_image_metadata` (one Arrow pass; raster bytes
+    untouched, so decoded pixels are bit-identical by construction).
+    Scrubbing a planted payload must restore the EXACT original bytes:
+    payload_sha is checked against the INDEPENDENT python-hashlib fixture
+    (pairs300_payload_sha), fmt against pairs400_meta, and the per-image
+    removed-comment audit count against the plant schedule."""
+    from ccnet_spark_spark.operators import multimodal
+    from ccnet_spark_spark.synth import generate_pairs
+
+    def plant(batches):
+        import pandas as pd  # executor-side; module globals don't ship
+
+        for pdf in batches:
+            out = []
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                data = bytes(data)
+                if img_id < "img0000000030":
+                    tag = b"\n# Created by synthcam 3.1\n# GPS 37.7749 -122.4194\n"
+                elif img_id < "img0000000100":
+                    tag = b"\n# Created by synthcam 3.1\n"
+                else:
+                    tag = None
+                if tag is not None:
+                    # replace the whitespace after the magic token with a
+                    # comment block — the position real tools write them
+                    sp = data.index(b" ")
+                    data = data[:sp] + tag + data[sp + 1 :]
+                out.append({"image_id": img_id, "bytes": bytearray(data), "fmt": fmt})
+            yield pd.DataFrame(out)
+
+    tagged = (
+        generate_pairs(spark, 300)
+        .select("image_id", "bytes", "fmt")
+        .mapInPandas(plant, schema="image_id string, bytes binary, fmt string")
+    )
+    return multimodal.scrub_image_metadata(tagged).select(
+        "image_id",
+        "fmt",
+        "n_meta_removed",
+        F.sha2(F.col("bytes"), 256).alias("payload_sha"),
+    )
+
+
 def q_image_decontaminate(spark, sf_dir):
     """IMAGE-side eval-set decontamination (the phash analog of
     `decontaminate`): drop every training pair whose perceptual hash is
@@ -2710,16 +2759,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 21 never-driver-recorded queries (the 3
+    # coverage. This round: the 22 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 18 queries added in r5) lead, followed by 29
+    # semdedup — plus the 19 queries added in r5) lead, followed by 28
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
-    # analytics, ANN, multimodal, sources, streaming) — a larger
-    # cross-section than r4 kept, so a regression in any mature family
-    # still fails the external gate (r4 ADVICE #3). With this rotation
-    # the union of r1-r5 driver-recorded keys covers all 121 contract
-    # queries.
+    # ANN, multimodal, sources, streaming) — a larger cross-section than
+    # r4 kept, so a regression in any mature family still fails the
+    # external gate (r4 ADVICE #3). With this rotation the union of
+    # r1-r5 driver-recorded keys covers all 122 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -2745,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quota": _wrap(q_lang_quota),  # new in r5
         "mix_repeat": _wrap(q_mix_repeat),  # new in r5
         "image_decontaminate": _wrap(q_image_decontaminate),  # new in r5
+        "image_metadata_scrub": _wrap(q_image_metadata_scrub),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -2779,10 +2828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _wrap(q_bpe_train),
         "cutoff_train": _wrap(q_cutoff_train),
         "hash_sample": _wrap(q_hash_sample),
-        "tfidf_topk": _wrap(q_tfidf_topk),
         # ---------------- position > 50: checked by tools/check_oracle.py
         # ---------------- every round; all have at least one
         # ---------------- driver-recorded green row from rounds 1-4
+        "tfidf_topk": _wrap(q_tfidf_topk),
         "inverted_index": _wrap(q_inverted_index),
         "ivf_exhaustive": _wrap(q_ivf_exhaustive),
         "image_stats": _wrap(q_image_stats),
@@ -3926,6 +3975,18 @@ def oracle_sql() -> dict[str, str]:
             f"and ((xor(a.phash, b.phash) & ({-(1 << 48)})::bigint) = 0 "
             f"or (xor(a.phash, b.phash) & {(1 << 48) - (1 << 32)}) = 0)"
             ") where hamming <= 8"
+        ),
+        "image_metadata_scrub": (
+            # scrub(planted payload) must equal the ORIGINAL generator
+            # bytes exactly, so the expected sha is the independent
+            # python-hashlib fixture; the audit count is the plant schedule
+            f"select m.image_id, m.fmt, "
+            "cast(case when m.image_id < 'img0000000030' then 2 "
+            "when m.image_id < 'img0000000100' then 1 else 0 end as int) "
+            "as n_meta_removed, s.payload_sha "
+            f"from read_parquet('{_fixture('pairs400_meta.parquet')}') m "
+            f"join read_parquet('{_fixture('pairs300_payload_sha.parquet')}') s "
+            "using (image_id)"
         ),
         "image_decontaminate": (
             f"with base as (select image_id, phash from "

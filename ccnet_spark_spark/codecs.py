@@ -25,12 +25,62 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6 %d %d 255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+def parse_header(data: bytes) -> tuple[list[bytes], int, int]:
+    """Tokenize a Netpbm-style ASCII header (magic + three ints) honoring
+    the spec's `#` comments: a `#` anywhere between tokens starts a comment
+    that runs to end-of-line. Returns (4 tokens, raster offset — the byte
+    after the single whitespace that terminates the header, comment count).
+    Real-world PPM carries tool/EXIF-ish comments here (`# Created by
+    GIMP`, `# GPS ...`) — the image-side PII surface strip_metadata()
+    scrubs; qjpg's `QJ w h step` header follows the same token grammar."""
+    toks: list[bytes] = []
+    i, n_comments = 0, 0
+    while len(toks) < 4:
+        if i >= len(data):
+            raise ValueError("truncated image header")
+        c = data[i : i + 1]
+        if c == b"#":
+            nl = data.index(b"\n", i)
+            n_comments += 1
+            i = nl + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace() and data[j : j + 1] != b"#":
+                j += 1
+            toks.append(data[i:j])
+            i = j
+    # exactly ONE whitespace byte terminates the header (per spec — raster
+    # bytes may legitimately start with 0x23 or whitespace values)
+    if i >= len(data) or not data[i : i + 1].isspace():
+        raise ValueError("missing header-terminating whitespace")
+    return toks, i + 1, n_comments
+
+
 def decode_ppm(data: bytes) -> np.ndarray:
-    nl = data.index(b"\n")
-    magic, w, h, _maxv = data[:nl].split()
+    (magic, w, h, _maxv), off, _ = parse_header(data)
     assert magic == b"P6", f"not a P6 ppm: {magic!r}"
     w, h = int(w), int(h)
-    return np.frombuffer(data[nl + 1 :], dtype=np.uint8).reshape(h, w, 3)
+    return np.frombuffer(data[off:], dtype=np.uint8).reshape(h, w, 3)
+
+
+def strip_metadata(data: bytes, fmt: str) -> tuple[bytes, int]:
+    """Image-side PII scrub: drop every header comment (the PPM analog of
+    EXIF GPS/creator tags) and re-emit the canonical single-line header.
+    The raster bytes are copied untouched, so decoded pixels are
+    bit-identical (PSNR = inf) — the north rule's payload invariant holds
+    by construction. Returns (clean bytes, comments removed). Idempotent:
+    a canonical payload passes through byte-identical with count 0."""
+    if fmt not in ("ppm", "qjpg"):
+        raise NotImplementedError(
+            f"fmt={fmt!r}: metadata scrub for jpeg/png EXIF requires Pillow, "
+            "not present in this sandbox; plumbing is format-agnostic"
+        )
+    (magic, w, h, last), off, n_comments = parse_header(data)
+    expect = b"P6" if fmt == "ppm" else b"QJ"
+    assert magic == expect, f"fmt={fmt!r} but magic={magic!r}"
+    return b"%s %d %d %d\n" % (magic, int(w), int(h), int(last)) + data[off:], n_comments
 
 
 def encode_qjpg(pixels: np.ndarray, step: int = QJPG_STEP) -> bytes:
@@ -40,11 +90,10 @@ def encode_qjpg(pixels: np.ndarray, step: int = QJPG_STEP) -> bytes:
 
 
 def decode_qjpg(data: bytes) -> np.ndarray:
-    nl = data.index(b"\n")
-    magic, w, h, step = data[:nl].split()
+    (magic, w, h, step), off, _ = parse_header(data)
     assert magic == b"QJ", f"not a qjpg: {magic!r}"
     w, h, step = int(w), int(h), int(step)
-    q = np.frombuffer(data[nl + 1 :], dtype=np.uint8).reshape(h, w, 3)
+    q = np.frombuffer(data[off:], dtype=np.uint8).reshape(h, w, 3)
     return np.clip(q.astype(np.int32) * step + step // 2, 0, 255).astype(np.uint8)
 
 

@@ -64,6 +64,37 @@ def image_stats(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=STATS_SCHEMA)
 
 
+META_SCRUB_SCHEMA = "image_id string, bytes binary, fmt string, n_meta_removed int"
+
+
+def scrub_image_metadata(df: DataFrame) -> DataFrame:
+    """Image-side PII scrub — the payload analog of the caption regex
+    scrub: strip every header comment (the PPM/Netpbm carrier for EXIF-ish
+    creator/GPS tags) and re-emit the canonical header, leaving raster
+    bytes untouched so decoded pixels are bit-identical (the north rule's
+    payload invariant holds by construction, not by tolerance). One
+    Arrow-batched mapInPandas pass; n_meta_removed is the per-image audit
+    count the metrics sidecar aggregates. Real EXIF strip for jpeg/png
+    slots in behind codecs.strip_metadata when Pillow is available."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                clean, n = codecs.strip_metadata(bytes(data), fmt)
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "bytes": bytearray(clean),
+                        "fmt": fmt,
+                        "n_meta_removed": n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=META_SCRUB_SCHEMA)
+
+
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
 
 

@@ -626,3 +626,72 @@ def test_hash64_decontaminate_plan_broadcasts_eval(spark):
     out = hash64_decontaminate(base, edf, "image_id", "phash", eval_hash_col="eval_phash")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- image metadata scrub
+
+
+def test_strip_metadata_fidelity_and_idempotence():
+    """Plant comments -> decode still works (comment-tolerant parser),
+    scrub restores the EXACT original bytes, decoded pixels bit-identical
+    at every step, scrub is idempotent, counts are right."""
+    import numpy as np
+
+    from ccnet_spark_spark import codecs
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for fmt, enc in (("ppm", codecs.encode_ppm), ("qjpg", codecs.encode_qjpg)):
+        orig = enc(px)
+        sp = orig.index(b" ")
+        tagged = orig[:sp] + b"\n# Created by tool\n# GPS 1.5 2.5\n" + orig[sp + 1 :]
+        # comment-tolerant decode sees the same pixels
+        assert (codecs.decode(tagged, fmt) == codecs.decode(orig, fmt)).all()
+        clean, n = codecs.strip_metadata(tagged, fmt)
+        assert n == 2 and clean == orig
+        again, n2 = codecs.strip_metadata(clean, fmt)
+        assert n2 == 0 and again == clean
+    # glued comment (no whitespace before '#') still terminates the token
+    hdr = b"P6 5#c\n7 255\n" + bytes(5 * 7 * 3)
+    clean, n = codecs.strip_metadata(hdr, "ppm")
+    assert n == 1 and clean.startswith(b"P6 5 7 255\n")
+    # error paths: unknown fmt gated, truncated header loud
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        codecs.strip_metadata(b"\xff\xd8", "jpeg")
+    with _pytest.raises(ValueError):
+        codecs.strip_metadata(b"P6 5 7", "ppm")
+
+
+def test_scrub_image_metadata_operator(spark):
+    """Spark-side: payload sha equality vs the pre-plant original, audit
+    counts surface per row, pixels decode identically after scrub."""
+    from ccnet_spark_spark import codecs
+    from ccnet_spark_spark.operators.multimodal import scrub_image_metadata
+    from ccnet_spark_spark.synth import generate_pairs
+
+    base = generate_pairs(spark, 20).select("image_id", "bytes", "fmt")
+    orig = {r["image_id"]: bytes(r["bytes"]) for r in base.collect()}
+
+    def plant(pdf):
+        pdf = pdf.copy()
+        pdf["bytes"] = [
+            bytearray(
+                bytes(b)[: bytes(b).index(b" ")]
+                + b"\n# Created by x\n"
+                + bytes(b)[bytes(b).index(b" ") + 1 :]
+            )
+            for b in pdf["bytes"]
+        ]
+        return pdf
+
+    tagged = base.toPandas().pipe(plant)
+    out = scrub_image_metadata(spark.createDataFrame(tagged, schema=base.schema)).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["n_meta_removed"] == 1
+        assert bytes(r["bytes"]) == orig[r["image_id"]]
+        assert (
+            codecs.decode(bytes(r["bytes"]), r["fmt"]) == codecs.decode(orig[r["image_id"]], r["fmt"])
+        ).all()
