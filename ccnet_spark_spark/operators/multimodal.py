@@ -95,6 +95,39 @@ def scrub_image_metadata(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=META_SCRUB_SCHEMA)
 
 
+def scrub_metadata_passthrough(pairs: DataFrame) -> DataFrame:
+    """Pipeline form of the metadata scrub: ONE mapInPandas rewrites the
+    payload column in place on the FULL row (every other column rides
+    along) and appends the n_meta_removed audit count — zero shuffle, the
+    payload crosses Arrow once (the same cost class as the fused model
+    gates; at 10^12 rows this is local memory bandwidth, not network).
+    NULL payloads pass through untouched with count 0 (the metadata gates
+    own them)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(pairs.schema.fields) + [StructField("n_meta_removed", IntegerType())]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cleaned, counts = [], []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                if data is None:
+                    cleaned.append(None)
+                    counts.append(0)
+                    continue
+                clean, n = codecs.strip_metadata(bytes(data), fmt)
+                cleaned.append(bytearray(clean))
+                counts.append(n)
+            out = pdf.copy()
+            out["bytes"] = cleaned
+            out["n_meta_removed"] = counts
+            yield out
+
+    return pairs.mapInPandas(op, schema=schema)
+
+
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
 
 

@@ -84,6 +84,13 @@ class Config:
     # downstream stage. Requires the pair columns (w, h, fmt, bytes).
     image_gates: bool = False
     image_gate_config: object | None = None  # ImageGateConfig; None -> defaults
+    # engine addition (off by default): image-side PII scrub FIRST — strip
+    # payload header comments (the PPM carrier for EXIF-ish creator/GPS
+    # tags) before any retention decision, so everything downstream —
+    # gates, dedup, sinks — sees clean payloads. One Arrow crossing of the
+    # full row (multimodal.scrub_metadata_passthrough); pixels are
+    # bit-identical by construction. Requires the pair columns (bytes, fmt).
+    payload_scrub: bool = False
     # engine additions (off by default) completing the DataComp-style
     # cost-ordered cascade AFTER the scan-predicate gates: first the
     # boilerplate-caption budget (ONE window-count shuffle over gate
@@ -121,6 +128,12 @@ class Pipeline:
         for col in ENGINE_COLUMNS:
             if col in df.columns:
                 df = df.withColumnRenamed(col, f"src_{col}")
+        if cfg.payload_scrub:
+            from ..operators.multimodal import scrub_metadata_passthrough
+
+            # scrub BEFORE any retention decision: PII must not survive in
+            # rows a later stage drops into a sidecar or sink
+            df = scrub_metadata_passthrough(df)
         if cfg.image_gates:
             from ..operators.image_quality import ImageGateConfig, keep_expr
 

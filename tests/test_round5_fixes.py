@@ -695,3 +695,34 @@ def test_scrub_image_metadata_operator(spark):
         assert (
             codecs.decode(bytes(r["bytes"]), r["fmt"]) == codecs.decode(orig[r["image_id"]], r["fmt"])
         ).all()
+
+
+def test_pipeline_payload_scrub_stage(spark):
+    """Config(payload_scrub=True): every payload goes through the
+    metadata strip BEFORE any retention decision — output rows carry the
+    n_meta_removed audit count and clean bytes equal to the pre-plant
+    originals (pixels bit-identical by construction)."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    base = generate_pairs(spark, 30)
+    orig = {r["image_id"]: bytes(r["bytes"]) for r in base.select("image_id", "bytes").collect()}
+
+    def plant(pdf):
+        import pandas as _pd  # noqa: F401
+
+        pdf = pdf.copy()
+        pdf["bytes"] = [
+            bytearray(
+                bytes(b)[: bytes(b).index(b" ")] + b"\n# GPS 1 2\n" + bytes(b)[bytes(b).index(b" ") + 1 :]
+            )
+            for b in pdf["bytes"]
+        ]
+        return pdf
+
+    tagged = spark.createDataFrame(base.toPandas().pipe(plant), schema=base.schema)
+    out = Pipeline(spark, Config(payload_scrub=True)).run(tagged).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["n_meta_removed"] == 1
+        assert bytes(r["bytes"]) == orig[r["image_id"]]
