@@ -119,3 +119,56 @@ class TestSamplingProperties:
         n = 2000
         got = sum(self._selected(i, rate) for i in range(n)) / n
         assert abs(got - rate / 256) < 0.06
+
+
+class TestImageMetadataScrub:
+    """Header-parser properties: any mix of comments / extra whitespace
+    injected between header tokens must (a) decode to the same pixels the
+    canonical payload decodes to and (b) scrub back to the exact canonical
+    bytes.  Comments are only legal BETWEEN tokens (gaps 0-2): per the
+    Netpbm grammar exactly ONE whitespace byte follows the final token, so
+    anything after it is raster data — the strategies respect that."""
+
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),  # gap between tokens
+                st.text(
+                    alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="\n"),
+                    max_size=20,
+                ),
+            ),
+            max_size=4,
+        ),
+        st.lists(st.sampled_from([b" ", b"\t", b"\n", b"  "]), min_size=3, max_size=3),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_plant_decode_scrub_roundtrip(self, w, h, comments, gap_ws):
+        import numpy as np
+
+        from ccnet_spark_spark import codecs
+
+        px = np.arange(w * h * 3, dtype=np.uint32).reshape(h, w, 3).astype(np.uint8)
+        for fmt, enc in (("ppm", codecs.encode_ppm), ("qjpg", codecs.encode_qjpg)):
+            orig = enc(px)
+            want = codecs.decode(orig, fmt)  # qjpg is lossy: compare decoded-to-decoded
+            # split the canonical single-line header into its 4 tokens and
+            # re-join with comments and fuzzed whitespace in the inner gaps;
+            # the final token keeps its single terminating whitespace
+            nl = orig.index(b"\n")
+            toks = orig[:nl].split()
+            gaps = [[ws] for ws in gap_ws] + [[b"\n"]]
+            for gi, ctext in comments:
+                # a comment needs whitespace (or start-of-gap newline) before
+                # it and its own newline ends it; append after the gap's ws
+                gaps[gi].append(b"# " + ctext.encode() + b"\n")
+            header = b""
+            for t, gap in zip(toks, gaps):
+                header += t + b"".join(gap)
+            tagged = header + orig[nl + 1 :]
+            assert (codecs.decode(tagged, fmt) == want).all()
+            clean, n = codecs.strip_metadata(tagged, fmt)
+            assert clean == orig
+            assert n == len(comments)
