@@ -53,6 +53,7 @@ from ccnet_spark_spark.operators import (
     similarity,
     tokenize,
 )
+from ccnet_spark_spark.operators import lm as lm_op
 
 MIN_LEN_DOCS = 280  # documents are shorter than captions; same operator
 
@@ -1445,6 +1446,63 @@ def q_selfcal_bucket(spark, sf_dir):
     return out.select("doc_id", "lang", "pp", "bucket")
 
 
+def _lm_split(spark, sf_dir):
+    """Deterministic train/score split standing in for cc_net's
+    Wikipedia-vs-CommonCrawl corpora: doc_id % 5 == 0 is the per-language
+    reference slice the LM trains on, the rest is the corpus it scores."""
+    docs = _docs(spark, sf_dir)
+    return docs.where(F.col("doc_id") % 5 == 0), docs.where(F.col("doc_id") % 5 != 0)
+
+
+def q_lm_train(spark, sf_dir):
+    """On-corpus bigram LM trainer (the KenLM-training step cc_net depends
+    on but the reference never ships): add-1-smoothed per-language word
+    bigram model from the reference slice, entirely JVM-side (explode +
+    groupBy + two derived aggregates — operators/lm.py). Output is the
+    model artifact itself: (lang, w1, w2, c12, logp)."""
+    train, _ = _lm_split(spark, sf_dir)
+    return lm_op.train_bigram_lm(train)["bigrams"].select("lang", "w1", "w2", "c12", "logp")
+
+
+def q_lm_score(spark, sf_dir):
+    """LM perplexity scoring with the TRAINED model (vs the stub-model pp
+    elsewhere in the contract): three broadcast equi-joins + a DECIMAL
+    log-prob sum per doc — no UDF, no Python. n_grams = words + 1, the
+    reference's length convention (pipe_perplexity.py:19-36)."""
+    train, rest = _lm_split(spark, sf_dir)
+    model = lm_op.train_bigram_lm(train)
+    return lm_op.score_bigram_pp(rest, model).select("doc_id", "lang", "n_grams", "lm_pp")
+
+
+def q_lm_selftrain_bucket(spark, sf_dir):
+    """The fully self-contained cc_net loop with NO external artifacts:
+    train the bigram LM on the reference slice, score the remaining corpus,
+    train the p30/p60 perplexity cutoffs from the scores, bucket the scored
+    corpus head/middle/tail with the fresh broadcast cutoffs. `scored` is
+    localCheckpoint'd because it feeds both the cutoff aggregation and the
+    bucket join (two consumers would replay the explode+joins subtree)."""
+    train, rest = _lm_split(spark, sf_dir)
+    model = lm_op.train_bigram_lm(train)
+    scored = lm_op.score_bigram_pp(rest, model).localCheckpoint()
+    matrix = bucket_op.train_cutoff_matrix(scored, pp_col="lm_pp", lang_col="lang")
+    cut = matrix.groupBy("lang").agg(
+        F.max(F.when(F.col("pct") == 30, F.col("cutoff"))).alias("pp_head"),
+        F.max(F.when(F.col("pct") == 60, F.col("cutoff"))).alias("pp_tail"),
+    )
+    pp = F.col("lm_pp")
+    bucket = (
+        F.when(pp.isNull() | (pp < 0) | F.col("pp_head").isNull(), F.lit("all"))
+        .when(pp < F.col("pp_head"), F.lit("head"))
+        .when(pp < F.col("pp_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cut), on="lang", how="left")
+        .withColumn("bucket", bucket)
+        .select("doc_id", "lang", "lm_pp", "bucket")
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -2759,15 +2817,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 22 never-driver-recorded queries (the 3
+    # coverage. This round: the 25 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 19 queries added in r5) lead, followed by 28
+    # semdedup — plus the 22 queries added in r5) lead, followed by 25
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 122 contract queries.
+    # r1-r5 driver-recorded keys covers all 125 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -2794,6 +2852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_repeat": _wrap(q_mix_repeat),  # new in r5
         "image_decontaminate": _wrap(q_image_decontaminate),  # new in r5
         "image_metadata_scrub": _wrap(q_image_metadata_scrub),  # new in r5
+        "lm_train": _wrap(q_lm_train),  # new in r5
+        "lm_score": _wrap(q_lm_score),  # new in r5
+        "lm_selftrain_bucket": _wrap(q_lm_selftrain_bucket),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3754,6 +3815,34 @@ def oracle_sql() -> dict[str, str]:
             "when s.pp < c.pp_head then 'head' when s.pp < c.pp_tail then 'middle' "
             "else 'tail' end as bucket "
             "from src s left join cut c using (lang)"
+        ),
+        "lm_train": (
+            "with "
+            + lm_op.lm_ctes_sql("(select * from documents where doc_id % 5 = 0)")
+            + " select lang, w1, w2, c12, logp from lmmodel"
+        ),
+        "lm_score": (
+            "with "
+            + lm_op.lm_ctes_sql("(select * from documents where doc_id % 5 = 0)")
+            + ", "
+            + lm_op.lm_score_sql("(select * from documents where doc_id % 5 <> 0)")
+            + " select doc_id, lang, n_grams, lm_pp from lmscore"
+        ),
+        "lm_selftrain_bucket": (
+            "with "
+            + lm_op.lm_ctes_sql("(select * from documents where doc_id % 5 = 0)")
+            + ", "
+            + lm_op.lm_score_sql("(select * from documents where doc_id % 5 <> 0)")
+            + ", matrix as (select * from ("
+            + bucket_op.train_cutoff_matrix_sql("lmscore", "lm_pp", "lang")
+            + ") tm), "
+            "cut as (select lang, max(case when pct = 30 then cutoff end) as pp_head, "
+            "max(case when pct = 60 then cutoff end) as pp_tail from matrix group by lang) "
+            "select s.doc_id, s.lang, s.lm_pp, "
+            "case when s.lm_pp is null or s.lm_pp < 0 or c.pp_head is null then 'all' "
+            "when s.lm_pp < c.pp_head then 'head' when s.lm_pp < c.pp_tail then 'middle' "
+            "else 'tail' end as bucket "
+            "from lmscore s left join cut c using (lang)"
         ),
         "quality_chain": qc_sql,
         "corpus_build": (
