@@ -54,6 +54,7 @@ from ccnet_spark_spark.operators import (
     tokenize,
 )
 from ccnet_spark_spark.operators import lm as lm_op
+from ccnet_spark_spark.operators import nb_lid as nb_lid_op
 
 MIN_LEN_DOCS = 280  # documents are shorter than captions; same operator
 
@@ -1503,6 +1504,70 @@ def q_lm_selftrain_bucket(spark, sf_dir):
     )
 
 
+def _nb_lid_labeled(spark):
+    """LID-distillation corpus: 400 pairs' captions (lang-correlated by
+    construction — synth draws them from models.VOCAB) labeled by the
+    stub-LID teacher, with the numeric image-id suffix as the split key.
+    localCheckpoint'd: it feeds the trainer, the predict side AND the
+    final join, and the generator + pandas-UDF LID would otherwise replay
+    per branch (r3 gotcha)."""
+    from ccnet_spark_spark.operators import lid as lid_op
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 400).select("image_id", "caption")
+    labeled = lid_op.with_lang(pairs, "caption").select(
+        "image_id", "caption", "lang", F.expr("cast(substring(image_id, 4) as int)").alias("_i")
+    )
+    return labeled.localCheckpoint()
+
+
+def q_nb_lid_model(spark, sf_dir):
+    """Trained char-trigram Naive-Bayes LID — the model artifact (lang,
+    gram, c, logp). fastText LID is a linear classifier over char-n-gram
+    features; multinomial NB over the same features has an exact
+    closed-form trainer (counts + smoothed logs, operators/nb_lid.py),
+    so the engine can TRAIN its own identifier from labeled data instead
+    of only consuming a binary. Trained here on the even-id half of the
+    stub-LID-labeled caption corpus."""
+    from ccnet_spark_spark.operators import nb_lid
+
+    labeled = _nb_lid_labeled(spark)
+    train = labeled.where((F.col("_i") % 2 == 0) & F.col("lang").isNotNull())
+    model = nb_lid.train_nb_lid(train, text_col="caption")
+    return model["grams"].select("lang", "gram", "c", "logp")
+
+
+def q_nb_lid_distill(spark, sf_dir):
+    """LID distillation end-to-end (the production pattern: distill a
+    slow external classifier into an in-engine model that runs as pure
+    JVM joins): train NB on the teacher-labeled even-id half, predict the
+    held-out odd-id half, report per-image teacher label vs student
+    prediction + agreement. The candidate-language axis is an explode
+    (never a cross join); scoring is one broadcast equi-join on gram +
+    closed-form unseen mass; argmax is a deterministic row_number.
+    Student-teacher agreement on the held-out half is pytest-pinned
+    >= 0.9 (tests/test_nb_lid.py)."""
+    from ccnet_spark_spark.operators import nb_lid
+
+    labeled = _nb_lid_labeled(spark)
+    train = labeled.where((F.col("_i") % 2 == 0) & F.col("lang").isNotNull())
+    rest = labeled.where(F.col("_i") % 2 == 1)
+    model = nb_lid.train_nb_lid(train, text_col="caption")
+    langs = sorted(r.lang for r in model["langs"].select("lang").collect())
+    pred = nb_lid.predict_nb_lid(rest, model, langs, text_col="caption", id_col="image_id")
+    return (
+        rest.select("image_id", "lang")
+        .join(pred, "image_id")
+        .select(
+            "image_id",
+            F.col("lang").alias("teacher_lang"),
+            "pred_lang",
+            "nb_score",
+            (F.col("lang") == F.col("pred_lang")).alias("agree"),
+        )
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -2817,15 +2882,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 25 never-driver-recorded queries (the 3
+    # coverage. This round: the 27 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 22 queries added in r5) lead, followed by 25
+    # semdedup — plus the 24 queries added in r5) lead, followed by 23
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 125 contract queries.
+    # r1-r5 driver-recorded keys covers all 127 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -2855,6 +2920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_train": _wrap(q_lm_train),  # new in r5
         "lm_score": _wrap(q_lm_score),  # new in r5
         "lm_selftrain_bucket": _wrap(q_lm_selftrain_bucket),  # new in r5
+        "nb_lid_model": _wrap(q_nb_lid_model),  # new in r5
+        "nb_lid_distill": _wrap(q_nb_lid_distill),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3843,6 +3910,39 @@ def oracle_sql() -> dict[str, str]:
             "when s.lm_pp < c.pp_head then 'head' when s.lm_pp < c.pp_tail then 'middle' "
             "else 'tail' end as bucket "
             "from lmscore s left join cut c using (lang)"
+        ),
+        "nb_lid_model": (
+            "with lab as (select image_id, caption, lang, "
+            "cast(substr(image_id, 4) as int) as _i from ("
+            + models_mod.stub_lid_sql(
+                f"(select image_id, caption from read_parquet('{_fixture('pairs400_meta.parquet')}'))",
+                "caption",
+                ["image_id"],
+            )
+            + ") l), "
+            + nb_lid_op.nb_lid_ctes_sql(
+                "(select * from lab where _i % 2 = 0 and lang is not null)", "caption", "lang"
+            )
+            + " select lang, gram, c, logp from nbgrams"
+        ),
+        "nb_lid_distill": (
+            "with lab as (select image_id, caption, lang, "
+            "cast(substr(image_id, 4) as int) as _i from ("
+            + models_mod.stub_lid_sql(
+                f"(select image_id, caption from read_parquet('{_fixture('pairs400_meta.parquet')}'))",
+                "caption",
+                ["image_id"],
+            )
+            + ") l), "
+            + nb_lid_op.nb_lid_ctes_sql(
+                "(select * from lab where _i % 2 = 0 and lang is not null)", "caption", "lang"
+            )
+            + ", "
+            + nb_lid_op.nb_lid_predict_sql("(select * from lab where _i % 2 = 1)", "caption", "image_id")
+            + " select t.image_id, t.lang as teacher_lang, p.pred_lang, p.nb_score, "
+            "t.lang = p.pred_lang as agree "
+            "from (select image_id, lang from lab where _i % 2 = 1) t "
+            "join nbpred p using (image_id)"
         ),
         "quality_chain": qc_sql,
         "corpus_build": (
