@@ -1568,6 +1568,88 @@ def q_nb_lid_distill(spark, sf_dir):
     )
 
 
+def _probe_head_expr():
+    """Spark head-cutoff literal chain for the quality-probe label: keep =
+    stub perplexity (1dp) strictly below the per-language HEAD cutoff —
+    the 'would the LM gate keep this doc' bit the cheap classifier learns
+    to mimic. (Column-building needs an active session, so this is kept
+    separate from the Spark-free _probe_head_sql twin: oracle_sql() must
+    be callable without Spark.)"""
+    head = None
+    for lang, (h, _t) in sorted(_cutoffs().items()):
+        head = (head.when if head is not None else F.when)(F.col("lang") == lang, F.lit(h))
+    return head
+
+
+def _probe_head_sql() -> str:
+    return (
+        "case lang "
+        + " ".join(f"when '{lang}' then {h!r}" for lang, (h, _t) in sorted(_cutoffs().items()))
+        + " end"
+    )
+
+
+_PROBE_LANGS = tuple(models_mod.LANGS)
+
+
+def _probe_train_weights(spark, sf_dir):
+    from ccnet_spark_spark.operators import probe
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+    t = tokenize.with_tokenized(docs.select("doc_id", "lang", "text"), "text")
+    p = perplexity.with_perplexity(t, "tokenized")
+    head = _probe_head_expr()
+    labeled = p.select(
+        "doc_id",
+        "text",
+        "lang",
+        # when() treats a NULL comparison as false — matching the twin's
+        # `case when .. then 1 else 0` (vs cast(), which would keep NULL)
+        F.when(F.round(F.col("perplexity").cast("double"), 1) < head, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    train = labeled.where(F.col("doc_id") % 2 == 0)
+    return probe.train_ridge(train, "label", langs=_PROBE_LANGS), labeled
+
+
+def q_quality_probe_weights(spark, sf_dir):
+    """Ridge-trained linear quality classifier — the trained artifact (the
+    DCLM/FineWeb-style 'cheap mimic of an expensive quality signal' step,
+    operators/probe.py). Integer surface features make the normal
+    equations EXACT int64 sums, so the oracle retrains INDEPENDENTLY
+    (DuckDB features + numpy solve, no Spark, no fixture) and must land
+    on bit-identical weights."""
+    _assert_fixture_sf(sf_dir)
+    weights, _ = _probe_train_weights(spark, sf_dir)
+    from ccnet_spark_spark.operators.probe import feature_names
+
+    return spark.createDataFrame(
+        list(zip(feature_names(_PROBE_LANGS), weights)), ["feature", "weight"]
+    )
+
+
+def q_quality_probe(spark, sf_dir):
+    """Train the ridge probe on the even-id half (one exact-int
+    aggregation + driver-side solve), score the held-out half as a pure
+    scan-side projection — literal weights × integer features, no join,
+    no shuffle, no UDF (the trained weights fold into the plan exactly
+    like the reference folds its cutoff dict into a CASE chain). Output:
+    per-doc LM-gate label vs probe score and thresholded prediction."""
+    _assert_fixture_sf(sf_dir)
+    from ccnet_spark_spark.operators import probe
+
+    weights, labeled = _probe_train_weights(spark, sf_dir)
+    test = labeled.where(F.col("doc_id") % 2 == 1)
+    score = F.round(probe.score_expr(weights, langs=_PROBE_LANGS), 6)
+    return test.select(
+        "doc_id",
+        "label",
+        score.alias("score"),
+        (score >= 0.5).alias("pred"),
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -2882,15 +2964,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 27 never-driver-recorded queries (the 3
+    # coverage. This round: the 29 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 24 queries added in r5) lead, followed by 23
+    # semdedup — plus the 26 queries added in r5) lead, followed by 21
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 127 contract queries.
+    # r1-r5 driver-recorded keys covers all 129 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -2922,6 +3004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_selftrain_bucket": _wrap(q_lm_selftrain_bucket),  # new in r5
         "nb_lid_model": _wrap(q_nb_lid_model),  # new in r5
         "nb_lid_distill": _wrap(q_nb_lid_distill),  # new in r5
+        "quality_probe_weights": _wrap(q_quality_probe_weights),  # new in r5
+        "quality_probe": _wrap(q_quality_probe),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3080,6 +3164,54 @@ def _simhash_fixture() -> str:
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01").rstrip("/")
     )
     return _fixture(f"simhash_expected_{sfname}.parquet")
+
+
+def _probe_label_sql() -> str:
+    return f"case when {_pp_sql('text')} < {_probe_head_sql()} then 1 else 0 end"
+
+
+def _probe_oracle_weights(pq: str) -> list[float]:
+    """Independent oracle-side retrain (DuckDB features + numpy solve —
+    probe.oracle_train_ridge never touches Spark). Cached per path: both
+    probe oracle entries share one retrain."""
+    if pq not in _PROBE_W_CACHE:
+        from ccnet_spark_spark.operators import probe
+
+        _PROBE_W_CACHE[pq] = probe.oracle_train_ridge(
+            pq,
+            "doc_id % 2 = 0 and text is not null and lang is not null",
+            _probe_label_sql(),
+            langs=_PROBE_LANGS,
+        )
+    return _PROBE_W_CACHE[pq]
+
+
+_PROBE_W_CACHE: dict[str, list[float]] = {}
+
+
+def _probe_docs_pq() -> str:
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"), "documents.parquet"
+    )
+
+
+def _probe_oracle_weights_sql() -> str:
+    from ccnet_spark_spark.operators.probe import feature_names
+
+    w = _probe_oracle_weights(_probe_docs_pq())
+    vals = ", ".join(f"('{n}', {x!r})" for n, x in zip(feature_names(_PROBE_LANGS), w))
+    return f"select * from (values {vals}) as t(feature, weight)"
+
+
+def _probe_oracle_sql() -> str:
+    from ccnet_spark_spark.operators import probe
+
+    w = _probe_oracle_weights(_probe_docs_pq())
+    score = f"round({probe.score_sql(w, langs=_PROBE_LANGS)}, 6)"
+    return (
+        f"select doc_id, {_probe_label_sql()} as label, {score} as score, {score} >= 0.5 as pred "
+        "from documents where doc_id % 2 = 1 and text is not null and lang is not null"
+    )
 
 
 def _assert_fixture_sf(sf_dir: str) -> None:
@@ -3944,6 +4076,8 @@ def oracle_sql() -> dict[str, str]:
             "from (select image_id, lang from lab where _i % 2 = 1) t "
             "join nbpred p using (image_id)"
         ),
+        "quality_probe_weights": _probe_oracle_weights_sql(),
+        "quality_probe": _probe_oracle_sql(),
         "quality_chain": qc_sql,
         "corpus_build": (
             # pre-labeled single-line chain (lang from the table, no LID —
