@@ -1609,6 +1609,10 @@ def _probe_train_weights(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("label"),
     )
+    # the labeled frame feeds BOTH the trainer aggregation and the scored
+    # test half — without a checkpoint the pandas-UDF perplexity label
+    # would recompute per consumer
+    labeled = labeled.localCheckpoint()
     train = labeled.where(F.col("doc_id") % 2 == 0)
     return probe.train_ridge(train, "label", langs=_PROBE_LANGS), labeled
 

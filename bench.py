@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "corpus_build_trim",
     "ccnet_chain",
     "ccnet_chain_lines",
+    # r5 in-engine trainers (each trains AND applies in the timed window)
+    "lm_selftrain_bucket",
+    "nb_lid_distill",
+    "quality_probe",
 ]
 
 
