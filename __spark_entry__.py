@@ -55,6 +55,7 @@ from ccnet_spark_spark.operators import (
 )
 from ccnet_spark_spark.operators import lm as lm_op
 from ccnet_spark_spark.operators import nb_lid as nb_lid_op
+from ccnet_spark_spark.operators import dsir as dsir_op
 
 MIN_LEN_DOCS = 280  # documents are shorter than captions; same operator
 
@@ -1654,6 +1655,45 @@ def q_quality_probe(spark, sf_dir):
     )
 
 
+def _dsir_corpora(spark):
+    """(target, raw) for the DSIR pair: target = even-id captions the
+    stub-LID teacher labels 'en' (the 'Wikipedia-like' distribution),
+    raw = the odd-id mixed-language half. Captions are lang-correlated
+    by synth construction, so the importance weights carry real signal."""
+    labeled = _nb_lid_labeled(spark)
+    target = labeled.where((F.col("_i") % 2 == 0) & (F.col("lang") == "en"))
+    raw = labeled.where(F.col("_i") % 2 == 1)
+    return target, raw
+
+
+def q_dsir_model(spark, sf_dir):
+    """DSIR trainer artifact (Xie et al. 2023): per hashed-n-gram bucket,
+    target count, raw count and the smoothed delta log-prob — the entire
+    importance model is <= 4096 rows (broadcast by construction),
+    trained with two explode+groupBy passes (operators/dsir.py)."""
+    from ccnet_spark_spark.operators import dsir as dsir_mod
+
+    target, raw = _dsir_corpora(spark)
+    model = dsir_mod.train_dsir(target, raw, text_col="caption")
+    return model["model"].select("bucket", "ct", "cr", "delta_logp")
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling end-to-end: score every raw caption as
+    Σ_grams [log p_target − log q_raw] (one broadcast equi-join + one
+    DECIMAL-sum groupBy) and keep the top-60 most target-like. The
+    selection here is a global window (contract scale); the 10^12 path is
+    a trained percentile cutoff as a scan predicate (resample_topk
+    docstring). Selected rows are overwhelmingly the teacher's 'en' —
+    pytest-pinned precision >= 0.9 (tests/test_dsir.py)."""
+    from ccnet_spark_spark.operators import dsir as dsir_mod
+
+    target, raw = _dsir_corpora(spark)
+    model = dsir_mod.train_dsir(target, raw, text_col="caption")
+    scored = dsir_mod.score_dsir(raw, model, text_col="caption", id_col="image_id")
+    return dsir_mod.resample_topk(scored, 60, id_col="image_id")
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -2968,15 +3008,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 29 never-driver-recorded queries (the 3
+    # coverage. This round: the 31 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 26 queries added in r5) lead, followed by 21
+    # semdedup — plus the 28 queries added in r5) lead, followed by 19
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 129 contract queries.
+    # r1-r5 driver-recorded keys covers all 131 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -3010,6 +3050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lid_distill": _wrap(q_nb_lid_distill),  # new in r5
         "quality_probe_weights": _wrap(q_quality_probe_weights),  # new in r5
         "quality_probe": _wrap(q_quality_probe),  # new in r5
+        "dsir_model": _wrap(q_dsir_model),  # new in r5
+        "dsir_select": _wrap(q_dsir_select),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -4079,6 +4121,43 @@ def oracle_sql() -> dict[str, str]:
             "t.lang = p.pred_lang as agree "
             "from (select image_id, lang from lab where _i % 2 = 1) t "
             "join nbpred p using (image_id)"
+        ),
+        "dsir_model": (
+            "with lab as (select image_id, caption, lang, "
+            "cast(substr(image_id, 4) as int) as _i from ("
+            + models_mod.stub_lid_sql(
+                f"(select image_id, caption from read_parquet('{_fixture('pairs400_meta.parquet')}'))",
+                "caption",
+                ["image_id"],
+            )
+            + ") l), "
+            + dsir_op.dsir_ctes_sql(
+                "(select * from lab where _i % 2 = 0 and lang = 'en')",
+                "(select * from lab where _i % 2 = 1)",
+                "caption",
+            )
+            + " select bucket, ct, cr, delta_logp from dsmodel"
+        ),
+        "dsir_select": (
+            "with lab as (select image_id, caption, lang, "
+            "cast(substr(image_id, 4) as int) as _i from ("
+            + models_mod.stub_lid_sql(
+                f"(select image_id, caption from read_parquet('{_fixture('pairs400_meta.parquet')}'))",
+                "caption",
+                ["image_id"],
+            )
+            + ") l), "
+            + dsir_op.dsir_ctes_sql(
+                "(select * from lab where _i % 2 = 0 and lang = 'en')",
+                "(select * from lab where _i % 2 = 1)",
+                "caption",
+            )
+            + ", "
+            + dsir_op.dsir_score_sql("(select * from lab where _i % 2 = 1)", "caption", "image_id")
+            + " select image_id, n_grams, log_w, rank from ("
+            "select image_id, n_grams, log_w, "
+            "row_number() over (order by log_w desc, image_id asc) as rank "
+            "from dsscore) where rank <= 60"
         ),
         "quality_probe_weights": _probe_oracle_weights_sql(),
         "quality_probe": _probe_oracle_sql(),
