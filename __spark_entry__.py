@@ -1694,6 +1694,34 @@ def q_dsir_select(spark, sf_dir):
     return dsir_mod.resample_topk(scored, 60, id_col="image_id")
 
 
+def q_bpe_encode(spark, sf_dir):
+    """The APPLY half of the tokenizer lifecycle: encode the corpus with
+    the trained BPE. Words are tokenized once per DISTINCT word inside
+    the trainer (the vocab frame IS word -> symbols; the corpus never
+    crosses Python), so encoding is posexplode + ONE broadcast join +
+    an order-preserving regroup — at 10^12 scale the join is the whole
+    cost and it is an equi-join on the word column. Output per doc:
+    token count + the full space-joined token stream."""
+    from ccnet_spark_spark.operators import bpe
+
+    _assert_fixture_sf(sf_dir)
+    docs = _docs(spark, sf_dir)
+    _merges, vocab = bpe.train_bpe(spark, docs, "text", num_merges=16)
+    words = F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')")
+    tok = docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
+    joined = tok.join(F.broadcast(vocab.select("word", "symbols")), "word")
+    return joined.groupBy("doc_id").agg(
+        F.sum(F.size(F.split("symbols", " "))).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "symbols"))),
+                lambda s: s["symbols"],
+            ),
+            " ",
+        ).alias("tokens"),
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3008,15 +3036,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 31 never-driver-recorded queries (the 3
+    # coverage. This round: the 32 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 28 queries added in r5) lead, followed by 19
+    # semdedup — plus the 29 queries added in r5) lead, followed by 18
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 131 contract queries.
+    # r1-r5 driver-recorded keys covers all 132 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -3052,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_probe": _wrap(q_quality_probe),  # new in r5
         "dsir_model": _wrap(q_dsir_model),  # new in r5
         "dsir_select": _wrap(q_dsir_select),  # new in r5
+        "bpe_encode": _wrap(q_bpe_encode),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -4158,6 +4187,16 @@ def oracle_sql() -> dict[str, str]:
             "select image_id, n_grams, log_w, "
             "row_number() over (order by log_w desc, image_id asc) as rank "
             "from dsscore) where rank <= 60"
+        ),
+        "bpe_encode": (
+            "with toks as (select doc_id, u.i as pos, arr[u.i] as word from ("
+            "select doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            "t -> t <> '') as arr from documents), "
+            "lateral unnest(range(1, len(arr) + 1)) as u(i)) "
+            "select t.doc_id, cast(sum(len(string_split(v.symbols, ' '))) as bigint) as n_tokens, "
+            "string_agg(v.symbols, ' ' order by t.pos) as tokens "
+            f"from toks t join read_parquet('{_sf_fixture('bpe_vocab')}') v using (word) "
+            "group by t.doc_id"
         ),
         "quality_probe_weights": _probe_oracle_weights_sql(),
         "quality_probe": _probe_oracle_sql(),
