@@ -1722,6 +1722,44 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_dsir_stream_score(spark, sf_dir):
+    """Trained-model scoring AT INGEST — the production composition of the
+    trainer family with Structured Streaming: the DSIR importance model
+    is trained once (batch), frozen with localCheckpoint, and every
+    arriving micro-batch of captions is scored inside foreachBatch with
+    the SAME batch operator (score_dsir: broadcast model join +
+    DECIMAL-sum per doc). foreachBatch is the right shape because the
+    score is a per-document aggregation of exploded grams — each doc
+    arrives whole in one batch row, so per-batch application is exact and
+    the streamed output must equal the batch twin row-for-row."""
+    from ccnet_spark_spark.operators import dsir as dsir_mod
+
+    target, raw = _dsir_corpora(spark)
+    trained = dsir_mod.train_dsir(target, raw, text_col="caption")
+    frozen = dict(trained, model=trained["model"].localCheckpoint())
+    src, sink, ckpt = _stream_dirs("dsir_stream_score")
+    raw.select("image_id", "caption").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("image_id string, caption string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+
+    def score_batch(batch_df, _batch_id):
+        out = dsir_mod.score_dsir(batch_df, frozen, text_col="caption", id_col="image_id")
+        out.write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink).select("image_id", "n_grams", "log_w")
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3036,15 +3074,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 32 never-driver-recorded queries (the 3
+    # coverage. This round: the 33 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 29 queries added in r5) lead, followed by 18
+    # semdedup — plus the 30 queries added in r5) lead, followed by 17
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 132 contract queries.
+    # r1-r5 driver-recorded keys covers all 133 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -3081,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_model": _wrap(q_dsir_model),  # new in r5
         "dsir_select": _wrap(q_dsir_select),  # new in r5
         "bpe_encode": _wrap(q_bpe_encode),  # new in r5
+        "dsir_stream_score": _wrap(q_dsir_stream_score),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -4197,6 +4236,24 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(v.symbols, ' ' order by t.pos) as tokens "
             f"from toks t join read_parquet('{_sf_fixture('bpe_vocab')}') v using (word) "
             "group by t.doc_id"
+        ),
+        "dsir_stream_score": (
+            "with lab as (select image_id, caption, lang, "
+            "cast(substr(image_id, 4) as int) as _i from ("
+            + models_mod.stub_lid_sql(
+                f"(select image_id, caption from read_parquet('{_fixture('pairs400_meta.parquet')}'))",
+                "caption",
+                ["image_id"],
+            )
+            + ") l), "
+            + dsir_op.dsir_ctes_sql(
+                "(select * from lab where _i % 2 = 0 and lang = 'en')",
+                "(select * from lab where _i % 2 = 1)",
+                "caption",
+            )
+            + ", "
+            + dsir_op.dsir_score_sql("(select * from lab where _i % 2 = 1)", "caption", "image_id")
+            + " select image_id, n_grams, log_w from dsscore"
         ),
         "quality_probe_weights": _probe_oracle_weights_sql(),
         "quality_probe": _probe_oracle_sql(),
