@@ -1760,6 +1760,33 @@ def q_dsir_stream_score(spark, sf_dir):
     return spark.read.parquet(sink).select("image_id", "n_grams", "log_w")
 
 
+def q_image_entropy_gate(spark, sf_dir):
+    """LAION-style low-information image gate: grayscale-histogram Shannon
+    entropy per image (one Arrow-batched decode, multimodal.image_entropy)
+    + a flat verdict that must fire on exactly the 10 planted SOLID images
+    and never on the generated corpus. Oracle = pinned expected table from
+    the INDEPENDENT decoder reimplementation (tools/make_fixtures.py) —
+    the float64 entropies are bit-identical by the shared-op-sequence
+    convention image_embedding's fixture established."""
+    import numpy as np
+
+    from ccnet_spark_spark import codecs
+    from ccnet_spark_spark.operators.multimodal import image_entropy
+    from ccnet_spark_spark.synth import generate_pairs
+
+    base = generate_pairs(spark, 200).select("image_id", "bytes", "fmt")
+    plant_rows = [
+        (
+            f"img_flat_{i:02d}",
+            bytearray(codecs.encode_ppm(np.full((8, 8, 3), 10 * i + 5, dtype=np.uint8))),
+            "ppm",
+        )
+        for i in range(10)
+    ]
+    plants = spark.createDataFrame(plant_rows, "image_id string, bytes binary, fmt string")
+    return image_entropy(base.union(plants))
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3074,15 +3101,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 33 never-driver-recorded queries (the 3
+    # coverage. This round: the 34 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 30 queries added in r5) lead, followed by 17
+    # semdedup — plus the 31 queries added in r5) lead, followed by 16
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 133 contract queries.
+    # r1-r5 driver-recorded keys covers all 134 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -3120,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _wrap(q_dsir_select),  # new in r5
         "bpe_encode": _wrap(q_bpe_encode),  # new in r5
         "dsir_stream_score": _wrap(q_dsir_stream_score),  # new in r5
+        "image_entropy_gate": _wrap(q_image_entropy_gate),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -4254,6 +4282,10 @@ def oracle_sql() -> dict[str, str]:
             + ", "
             + dsir_op.dsir_score_sql("(select * from lab where _i % 2 = 1)", "caption", "image_id")
             + " select image_id, n_grams, log_w from dsscore"
+        ),
+        "image_entropy_gate": (
+            "select image_id, entropy, n_gray, flat "
+            f"from read_parquet('{_fixture('image_entropy210_expected.parquet')}')"
         ),
         "quality_probe_weights": _probe_oracle_weights_sql(),
         "quality_probe": _probe_oracle_sql(),

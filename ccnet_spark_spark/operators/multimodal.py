@@ -220,6 +220,43 @@ def _image_vec(data: bytes, fmt: str, dim: int = 64) -> np.ndarray:
     return (v / n).astype(np.float32)
 
 
+ENTROPY_SCHEMA = "image_id string, entropy double, n_gray int, flat boolean"
+
+
+def image_entropy(df: DataFrame, flat_threshold: float = 1.0) -> DataFrame:
+    """Grayscale-histogram Shannon entropy per image + flat-image verdict —
+    the LAION-style low-information gate (solid colors, blank thumbnails,
+    single-tone placeholders score near 0 bits). One Arrow-batched decode;
+    gray = (R+G+B)//3 in integer arithmetic, 256-bin bincount, entropy over
+    the nonzero bins in float64. The op sequence is the shared spec the
+    independent fixture re-implements (tools/make_fixtures.py), so the
+    doubles are bit-identical — the same convention image_embedding's
+    fixture uses. `flat` = entropy < flat_threshold (1 bit default: fires
+    on solid + near-solid, never on natural noise)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = codecs.decode(bytes(data), fmt).astype(np.int64)
+                gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                cnt = np.bincount(gray.reshape(-1), minlength=256)
+                nz = cnt[cnt > 0]
+                p = nz / nz.sum()
+                ent = float(-(p * np.log2(p)).sum())
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "entropy": ent,
+                        "n_gray": int((cnt > 0).sum()),
+                        "flat": bool(ent < flat_threshold),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=ENTROPY_SCHEMA)
+
+
 def image_embedding(df: DataFrame, dim: int = 64) -> DataFrame:
     """Deterministic fake feature-extractor: downsample to 8x8 grayscale ->
     flatten -> L2-normalize (a real CLIP/ViT encoder would slot in here;

@@ -74,3 +74,38 @@ def test_probe_mimics_lm_gate(spark):
     out = em.queries()["quality_probe"](spark, "/root/testdata/sf0.01").collect()
     acc = sum(1 for r in out if r.pred == (r.label == 1)) / len(out)
     assert acc >= 0.85, acc
+
+
+class TestImageEntropy:
+    """multimodal.image_entropy hand cases (kept here with the other
+    quality-gate tests)."""
+
+    def test_hand_cases(self, spark):
+        import numpy as np
+
+        from ccnet_spark_spark import codecs
+        from ccnet_spark_spark.operators.multimodal import image_entropy
+
+        solid = np.full((4, 4, 3), 77, dtype=np.uint8)
+        # checkerboard of two gray values, equal mass -> exactly 1 bit
+        board = np.zeros((4, 4, 3), dtype=np.uint8)
+        board[::2, ::2] = 200
+        board[1::2, 1::2] = 200
+        rows = [
+            ("solid", bytearray(codecs.encode_ppm(solid)), "ppm"),
+            ("board", bytearray(codecs.encode_ppm(board)), "ppm"),
+            ("solid_q", bytearray(codecs.encode_qjpg(solid)), "qjpg"),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+        got = {r.image_id: r for r in image_entropy(df).collect()}
+        assert got["solid"].entropy == 0.0 and got["solid"].flat and got["solid"].n_gray == 1
+        # exactly 1 bit sits ON the strict threshold -> NOT flat (boundary pin)
+        assert got["board"].entropy == 1.0 and got["board"].n_gray == 2 and not got["board"].flat
+        assert got["solid_q"].entropy == 0.0 and got["solid_q"].flat  # lossy path too
+
+    def test_gate_separates_plants(self, spark):
+        import __spark_entry__ as em
+
+        out = em.queries()["image_entropy_gate"](spark, "/root/testdata/sf0.001").collect()
+        flats = {r.image_id for r in out if r.flat}
+        assert flats == {f"img_flat_{i:02d}" for i in range(10)}

@@ -410,6 +410,39 @@ def make_image_embedding_expected(n: int = 200, plant: int = 10, dim: int = 64) 
     print(f"image_embed{n}_expected.parquet: {len(out)} rows")
 
 
+def make_image_entropy_expected(n: int = 200, plants: int = 10, flat_threshold: float = 1.0) -> None:
+    """Expected output of multimodal.image_entropy over n generated pairs +
+    `plants` SOLID 8x8 images (value 10*i+5) — decoded with the INDEPENDENT
+    decoder; the entropy math is the shared spec (integer gray=(R+G+B)//3,
+    256-bin bincount, float64 -(p*log2 p).sum over nonzero bins)."""
+    from ccnet_spark_spark.synth import gen_pandas
+
+    src = gen_pandas(0, n)
+    payloads = [(r.image_id, bytes(r.bytes)) for r in src.itertuples()]
+    for i in range(plants):
+        px = np.full((8, 8, 3), 10 * i + 5, dtype=np.uint8)
+        payloads.append((f"img_flat_{i:02d}", _encode_ppm_independent(px)))
+    rows = []
+    for image_id, data in payloads:
+        px = _decode_independent(data)
+        gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+        cnt = np.bincount(gray.reshape(-1), minlength=256)
+        nz = cnt[cnt > 0]
+        p = nz / nz.sum()
+        ent = float(-(p * np.log2(p)).sum())
+        rows.append(
+            {
+                "image_id": image_id,
+                "entropy": ent,
+                "n_gray": np.int32((cnt > 0).sum()),
+                "flat": bool(ent < flat_threshold),
+            }
+        )
+    out = pd.DataFrame(rows).astype({"n_gray": "int32"})
+    out.to_parquet(os.path.join(FIXTURES, "image_entropy210_expected.parquet"), index=False)
+    print(f"image_entropy210_expected.parquet: {len(out)} rows, {int(out.flat.sum())} flat")
+
+
 def make_bpe_expected(
     sf_dir: str, num_merges: int = 16, batch_size: int = 1, suffix: str = ""
 ) -> None:
@@ -517,6 +550,7 @@ if __name__ == "__main__":
     make_frame_sample_expected()
     make_audio_stats_expected()
     make_image_stats_expected()
+    make_image_entropy_expected()
     make_image_resize_expected()
     make_aspect_resize_expected()
     make_image_embedding_expected()
