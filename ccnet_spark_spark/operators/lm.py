@@ -141,6 +141,16 @@ def score_bigram_pp(
     )
 
 
+def load_model(spark, path: str) -> dict[str, DataFrame]:
+    """Load a trained artifact written by jobs/run_train.py --mode lm
+    (three parquet tables under one directory)."""
+    return {
+        "bigrams": spark.read.parquet(f"{path}/bigrams"),
+        "contexts": spark.read.parquet(f"{path}/contexts"),
+        "vocab": spark.read.parquet(f"{path}/vocab"),
+    }
+
+
 # ------------------------------------------------------------ DuckDB twins
 def lm_ctes_sql(train_rel: str, text_col: str = "text", lang_col: str = "lang", k: int = 1) -> str:
     """CTE bodies (no WITH keyword) rebuilding the trained model in DuckDB:

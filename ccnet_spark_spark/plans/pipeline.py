@@ -63,6 +63,12 @@ class Config:
     # tokenize/LM/bucket stages need a lang either way
     lang_col: str | None = None
     lm_dir: str | None = None
+    # engine addition: score perplexity with a TRAINED bigram-LM artifact
+    # (jobs/run_train.py --mode lm output dir) instead of the stub/real
+    # KenLM — the fully self-contained path with no external weights.
+    # Rows the LID refused (lang NULL) get NULL perplexity -> bucket
+    # 'all', same as the stub path.
+    lm_artifact: str | None = None
     selected_langs: list[str] | None = None
     cutoffs: dict[str, tuple[float, float]] | None = None
     cutoffs_csv: str | None = None
@@ -263,13 +269,31 @@ class Pipeline:
             )
             n_parts = cfg.salt_partitions or self.spark.sparkContext.defaultParallelism
             enriched = lid.salted_repartition(enriched, n_parts, "lang", id_col=id_col)
-        if "sp" in cfg.steps and "lm" in cfg.steps and cfg.fuse_lm:
+        if "sp" in cfg.steps and "lm" in cfg.steps and cfg.fuse_lm and not cfg.lm_artifact:
             # one Arrow crossing for tokenize+perplexity (see perplexity.py)
             enriched = perplexity.with_tokenized_and_perplexity(enriched, "dedup_caption", cfg.lm_dir)
         else:
             if "sp" in cfg.steps:
                 enriched = tokenize.with_tokenized(enriched, "dedup_caption", cfg.lm_dir)
-            if "lm" in cfg.steps:
+            if "lm" in cfg.steps and cfg.lm_artifact:
+                # trained-LM path: three broadcast joins + a DECIMAL sum
+                # per doc (operators/lm.py), joined back on the id
+                from ..operators import lm as lm_op
+
+                model = lm_op.load_model(self.spark, cfg.lm_artifact)
+                scored = lm_op.score_bigram_pp(
+                    enriched.select(id_col, "dedup_caption", "lang"),
+                    model,
+                    text_col="dedup_caption",
+                    lang_col="lang",
+                    id_col=id_col,
+                )
+                enriched = enriched.join(
+                    scored.select(id_col, F.col("lm_pp").cast("float").alias("perplexity")),
+                    on=id_col,
+                    how="left",
+                )
+            elif "lm" in cfg.steps:
                 enriched = perplexity.with_perplexity(enriched, "tokenized", cfg.lm_dir)
         if cfg.drop_tokenized and "sp" in cfg.steps:
             enriched = enriched.drop("tokenized")

@@ -71,3 +71,46 @@ def test_cutoffs_and_bpe_modes(spark, outdir, tmp_path):
     _run(["--mode", "bpe", "--input", DOCS, "--output", out2, "--num-merges", "4"])
     assert spark.read.parquet(f"{out2}/merges").count() == 4
     assert spark.read.parquet(f"{out2}/vocab").count() > 0
+
+
+def test_lm_artifact_consumed_by_pipeline(spark, tmp_path):
+    """Close the train -> apply loop operationally: run_train writes the LM
+    artifact, the Pipeline scores perplexity WITH it (Config.lm_artifact)
+    and the pipeline's perplexity column equals the standalone scorer."""
+    from ccnet_spark_spark.operators import lm
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    art = str(tmp_path / "lm_art")
+    pairs = generate_pairs(spark, 120).localCheckpoint()
+    # teacher-label captions so the artifact has real per-lang models
+    from ccnet_spark_spark.operators import lid as lid_op
+
+    labeled = lid_op.with_lang(pairs.select("image_id", "caption"), "caption").where(
+        F.col("lang").isNotNull()
+    )
+    labeled.select(F.col("caption").alias("text"), "lang").write.parquet(str(tmp_path / "train"))
+    from jobs import run_train
+
+    assert run_train.main(
+        ["--mode", "lm", "--input", str(tmp_path / "train"), "--output", art],
+        stop_session=False,
+    ) == 0
+
+    out = Pipeline(spark, Config(lm_artifact=art, min_len=1)).run(pairs)
+    model = lm.load_model(spark, art)
+    # the pipeline dedups lines first — score the pipeline's OWN dedup text
+    base = out.select("image_id", "dedup_caption", "lang").where(F.col("lang").isNotNull())
+    expected = lm.score_bigram_pp(base, model, text_col="dedup_caption", id_col="image_id")
+    joined = (
+        out.select("image_id", "perplexity")
+        .join(expected.select("image_id", "lm_pp"), "image_id")
+        .collect()
+    )
+    assert len(joined) > 0
+    for r in joined:
+        assert r.perplexity == pytest.approx(r.lm_pp, abs=1e-3)
+    # LID-refused rows keep NULL perplexity -> bucket 'all'
+    nulls = out.where(F.col("lang").isNull()).select("perplexity", "bucket").collect()
+    for r in nulls:
+        assert r.perplexity is None and r.bucket == "all"
