@@ -158,6 +158,18 @@ def predict_nb_lid(
     )
 
 
+def load_model(spark, path: str) -> dict:
+    """Load a trained artifact written by jobs/run_train.py --mode nb-lid
+    (grams/langs parquet + the two scalars in meta)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return {
+        "grams": spark.read.parquet(f"{path}/grams"),
+        "langs": spark.read.parquet(f"{path}/langs"),
+        "v": int(meta.v),
+        "n_total": int(meta.n_total),
+    }
+
+
 # ------------------------------------------------------------ DuckDB twins
 def nb_lid_ctes_sql(train_rel: str, text_col: str = "text", lang_col: str = "lang", n: int = 3, k: int = 1) -> str:
     """CTE bodies rebuilding the trained model: nbgrams / nblangs."""

@@ -69,6 +69,14 @@ class Config:
     # Rows the LID refused (lang NULL) get NULL perplexity -> bucket
     # 'all', same as the stub path.
     lm_artifact: str | None = None
+    # engine addition: identify language with a TRAINED char-trigram NB
+    # artifact (jobs/run_train.py --mode nb-lid output dir) instead of the
+    # stub/real fastText — lang becomes pure broadcast joins (zero Python
+    # in the LID stage). NB argmaxes over the trained languages for every
+    # non-NULL caption (fastText behavior; the stub's refusal threshold
+    # does not apply), so `score` is NULL on this path; NULL captions keep
+    # NULL lang -> bucket 'all' as before.
+    lid_artifact: str | None = None
     selected_langs: list[str] | None = None
     cutoffs: dict[str, tuple[float, float]] | None = None
     cutoffs_csv: str | None = None
@@ -257,7 +265,23 @@ class Pipeline:
             )
             enriched = enriched.withColumn("length", F.length("dedup_caption").cast("int"))
         if "lid" in cfg.steps:
-            enriched = lid.with_lang(enriched, "dedup_caption", cfg.lid_model_path, cfg.lid_threshold)
+            if cfg.lid_artifact:
+                from ..operators import nb_lid as nb_lid_op
+
+                model = nb_lid_op.load_model(self.spark, cfg.lid_artifact)
+                lang_values = sorted(r.lang for r in model["langs"].select("lang").collect())
+                pred = nb_lid_op.predict_nb_lid(
+                    enriched.select(id_col, "dedup_caption"),
+                    model,
+                    lang_values,
+                    text_col="dedup_caption",
+                    id_col=id_col,
+                )
+                enriched = enriched.join(
+                    pred.select(id_col, F.col("pred_lang").alias("lang")), on=id_col, how="left"
+                ).withColumn("score", F.lit(None).cast("float"))
+            else:
+                enriched = lid.with_lang(enriched, "dedup_caption", cfg.lid_model_path, cfg.lid_threshold)
             n_parts = cfg.salt_partitions or self.spark.sparkContext.defaultParallelism
             enriched = lid.salted_repartition(enriched, n_parts, "lang", id_col=id_col)
         elif cfg.lang_col:

@@ -40,6 +40,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     ap.add_argument("--lid-model", default=None)
     ap.add_argument("--lm-dir", default=None)
     ap.add_argument("--lm-artifact", default=None, help="score perplexity with a TRAINED bigram-LM artifact (jobs/run_train.py --mode lm output dir) instead of the stub/real KenLM")
+    ap.add_argument("--lid-artifact", default=None, help="identify language with a TRAINED char-trigram NB artifact (jobs/run_train.py --mode nb-lid output dir) instead of the stub/real fastText")
     ap.add_argument("--partitions", default=None, help="resumable mode: comma-separated partition ids (subdirs of --input)")
     ap.add_argument("--write-payload", action="store_true", help="rewrite image bytes into the output (default: verdict/label table only)")
     ap.add_argument("--id-col", default="image_id", help="key column (e.g. doc_id for document tables)")
@@ -70,6 +71,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         lid_model_path=args.lid_model,
         lm_dir=args.lm_dir,
         lm_artifact=args.lm_artifact,
+        lid_artifact=args.lid_artifact,
         selected_langs=args.langs.split(",") if args.langs else None,
         cutoffs=load_cutoffs_dict(args.cutoffs) if args.cutoffs else None,
         cutoffs_csv=args.cutoffs,

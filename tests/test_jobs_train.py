@@ -114,3 +114,44 @@ def test_lm_artifact_consumed_by_pipeline(spark, tmp_path):
     nulls = out.where(F.col("lang").isNull()).select("perplexity", "bucket").collect()
     for r in nulls:
         assert r.perplexity is None and r.bucket == "all"
+
+
+def test_nb_lid_artifact_consumed_by_pipeline(spark, tmp_path):
+    """Same loop for LID: run_train writes the NB artifact, the Pipeline
+    assigns lang WITH it (Config.lid_artifact — pure broadcast joins, no
+    Python in the LID stage) and matches the standalone predictor."""
+    from ccnet_spark_spark.operators import lid as lid_op
+    from ccnet_spark_spark.operators import nb_lid
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+    from jobs import run_train
+
+    art = str(tmp_path / "nb_art")
+    pairs = generate_pairs(spark, 120).localCheckpoint()
+    labeled = lid_op.with_lang(pairs.select("image_id", "caption"), "caption").where(
+        F.col("lang").isNotNull()
+    )
+    labeled.select(F.col("caption").alias("text"), "lang").write.parquet(str(tmp_path / "train"))
+    assert run_train.main(
+        ["--mode", "nb-lid", "--input", str(tmp_path / "train"), "--output", art],
+        stop_session=False,
+    ) == 0
+
+    out = Pipeline(spark, Config(lid_artifact=art, min_len=1)).run(pairs)
+    model = nb_lid.load_model(spark, art)
+    lang_values = sorted(r.lang for r in model["langs"].select("lang").collect())
+    expected = nb_lid.predict_nb_lid(
+        out.select("image_id", "dedup_caption"),
+        model,
+        lang_values,
+        text_col="dedup_caption",
+        id_col="image_id",
+    )
+    joined = (
+        out.select("image_id", "lang", "score")
+        .join(expected.select("image_id", "pred_lang"), "image_id")
+        .collect()
+    )
+    assert len(joined) > 0
+    for r in joined:
+        assert r.lang == r.pred_lang and r.score is None
