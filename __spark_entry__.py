@@ -1787,6 +1787,20 @@ def q_image_entropy_gate(spark, sf_dir):
     return image_entropy(base.union(plants))
 
 
+def q_alpha_mix(spark, sf_dir):
+    """XLM/mBERT temperature mixing (multinomial alpha-sampling): reshape
+    the corpus toward q_l ∝ p_l^0.3 at a 50% overall budget — the
+    language-rebalancing step multilingual training mixes are built with.
+    One counts aggregation (collected; languages are bounded) feeds
+    sample.alpha_mix_rates, whose integer 0..256 thresholds ride the
+    content-hash scan predicate (zero shuffle on the corpus). The oracle
+    recomputes the SAME rates from DuckDB counts via the shared-verbatim
+    rate function and folds them into the twin CASE predicate."""
+    _assert_fixture_sf(sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sample.alpha_mix_sample(docs, "lang", "doc_id", alpha=0.3, target_frac=0.5)
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3101,15 +3115,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 34 never-driver-recorded queries (the 3
+    # coverage. This round: the 35 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 31 queries added in r5) lead, followed by 16
+    # semdedup — plus the 32 queries added in r5) lead, followed by 15
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 134 contract queries.
+    # r1-r5 driver-recorded keys covers all 135 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -3148,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _wrap(q_bpe_encode),  # new in r5
         "dsir_stream_score": _wrap(q_dsir_stream_score),  # new in r5
         "image_entropy_gate": _wrap(q_image_entropy_gate),  # new in r5
+        "alpha_mix": _wrap(q_alpha_mix),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -3354,6 +3369,22 @@ def _probe_oracle_sql() -> str:
         f"select doc_id, {_probe_label_sql()} as label, {score} as score, {score} >= 0.5 as pred "
         "from documents where doc_id % 2 = 1 and text is not null and lang is not null"
     )
+
+
+def _alpha_mix_oracle_sql() -> str:
+    import duckdb
+
+    pq = _probe_docs_pq()
+    counts = {
+        r[0]: int(r[1])
+        for r in duckdb.sql(
+            f"select lang, count(*) from read_parquet('{pq}') "
+            "where lang is not null group by 1"
+        ).fetchall()
+    }
+    rates = sample.alpha_mix_rates(counts, 0.3, 0.5)
+    pred = sample.stratified_hash_sample_sql("doc_id", "lang", rates)
+    return f"select doc_id, lang from documents where {pred}"
 
 
 def _assert_fixture_sf(sf_dir: str) -> None:
@@ -4287,6 +4318,7 @@ def oracle_sql() -> dict[str, str]:
             "select image_id, entropy, n_gray, flat "
             f"from read_parquet('{_fixture('image_entropy210_expected.parquet')}')"
         ),
+        "alpha_mix": _alpha_mix_oracle_sql(),
         "quality_probe_weights": _probe_oracle_weights_sql(),
         "quality_probe": _probe_oracle_sql(),
         "quality_chain": qc_sql,

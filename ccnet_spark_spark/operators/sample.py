@@ -100,6 +100,49 @@ def stratified_hash_sample_sql(
     )
 
 
+def alpha_mix_rates(
+    counts: dict[str, int], alpha: float = 0.3, target_frac: float = 0.5
+) -> dict[str, int]:
+    """XLM/mBERT-style temperature mixing: per-language keep rates (in the
+    sampler's 0..256 units) that reshape the corpus toward the multinomial
+    q_l ∝ p_l^alpha (alpha < 1 upsamples tail languages RELATIVELY by
+    downsampling the head less aggressively than proportional sampling
+    would). target_frac is the overall budget: Σ kept ≈ target_frac · N
+    when no language saturates (rates cap at 256 = keep-all).
+
+    Pure driver-side integer/float arithmetic over the collected per-lang
+    counts (languages are bounded — the same driver-side-scalars
+    discipline as the other trainers), shared VERBATIM by the engine and
+    the oracle builder so both sides fold identical thresholds into the
+    sampling predicate."""
+    n_total = sum(counts.values())
+    if not n_total:
+        return {}
+    weights = {l: (c / n_total) ** alpha for l, c in counts.items()}
+    wsum = sum(weights.values())
+    out = {}
+    for lang, c in sorted(counts.items()):
+        target_rows = weights[lang] / wsum * target_frac * n_total
+        out[lang] = min(256, int(256 * target_rows / c))
+    return out
+
+
+def alpha_mix_sample(
+    df: DataFrame,
+    lang_col: str = "lang",
+    id_col: str | Column = "doc_id",
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Compose alpha_mix_rates with the content-hash stratified sampler:
+    one counts aggregation (collected — languages are bounded), then the
+    broadcast-rates scan predicate. Deterministic across engines,
+    retries and cluster layouts like every hash sample here."""
+    counts = {r[0]: int(r[1]) for r in df.groupBy(lang_col).count().collect() if r[0] is not None}
+    rates = alpha_mix_rates(counts, alpha, target_frac)
+    return stratified_hash_sample(df, id_col, lang_col, rates)
+
+
 def group_quota(
     df: DataFrame, group_col: str, quota: int, id_col: str | Column = "image_id"
 ) -> DataFrame:

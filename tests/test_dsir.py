@@ -71,3 +71,37 @@ def test_selection_precision(spark):
     assert len(m) == 60
     prec = sum(1 for r in m if r.lang == "en") / len(m)
     assert prec >= 0.9, prec
+
+
+class TestAlphaMix:
+    """sample.alpha_mix_rates math + the composed sampler's direction."""
+
+    def test_rates_shape(self):
+        from ccnet_spark_spark.operators.sample import alpha_mix_rates
+
+        counts = {"en": 800, "fr": 100, "zh": 100}
+        prop = alpha_mix_rates(counts, alpha=1.0, target_frac=0.5)
+        # alpha=1 is proportional: every language keeps the same rate
+        assert len(set(prop.values())) == 1 and abs(prop["en"] - 128) <= 1
+        temp = alpha_mix_rates(counts, alpha=0.3, target_frac=0.5)
+        # temperature < 1 shifts budget from head to tail
+        assert temp["en"] < prop["en"] and temp["fr"] > prop["fr"]
+        # alpha=0 is uniform across languages: equal target ROWS per lang
+        unif = alpha_mix_rates(counts, alpha=0.0, target_frac=0.3)
+        assert unif["fr"] == unif["zh"] and unif["en"] * 8 <= unif["fr"] + 8
+        assert alpha_mix_rates({}, 0.3, 0.5) == {}
+
+    def test_sampler_direction(self, spark):
+        from ccnet_spark_spark.operators.sample import alpha_mix_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        kept = alpha_mix_sample(docs, alpha=0.3, target_frac=0.5)
+        after = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        # head language loses share, every language survives
+        assert after["en"] / before["en"] < after["fr"] / before["fr"]
+        assert set(after) == set(before)
+        total = sum(after.values()) / sum(before.values())
+        assert 0.35 < total < 0.75  # near the 50% budget (hash quantization)
