@@ -1801,6 +1801,32 @@ def q_alpha_mix(spark, sf_dir):
     return sample.alpha_mix_sample(docs, "lang", "doc_id", alpha=0.3, target_frac=0.5)
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """FUZZY benchmark decontamination (dedup.fuzzy_decontaminate): drop
+    corpus docs near-duplicating ANY eval doc at n-gram Jaccard >= 0.4 —
+    the paraphrased/truncated leak the exact 8-gram pass can't see. Eval
+    set = 10 exact copies (always band — guaranteed caught) + 10
+    30-word truncations (high-Jaccard partials) + 2 unrelated texts
+    (must drop nothing). Candidates come from a broadcast band-key join
+    (eval suites are benchmark-sized); the corpus never self-joins.
+    Output = surviving doc ids."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ev_exact = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("eval_id"), "text"
+    )
+    ev_trunc = docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 600000).alias("eval_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text"),
+    )
+    ev_lit = spark.createDataFrame(
+        [(700001, "zzz qqq vvv unrelated eval text"), (700002, "mmm nnn ooo ppp rrr")],
+        "eval_id long, text string",
+    )
+    evals = ev_exact.union(ev_trunc).union(ev_lit)
+    out = dedup.fuzzy_decontaminate(docs, evals, "doc_id", "text", threshold=0.4)
+    return out.select("doc_id")
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3115,15 +3141,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 35 never-driver-recorded queries (the 3
+    # coverage. This round: the 36 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 32 queries added in r5) lead, followed by 15
+    # semdedup — plus the 33 queries added in r5) lead, followed by 14
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 135 contract queries.
+    # r1-r5 driver-recorded keys covers all 136 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -3163,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_stream_score": _wrap(q_dsir_stream_score),  # new in r5
         "image_entropy_gate": _wrap(q_image_entropy_gate),  # new in r5
         "alpha_mix": _wrap(q_alpha_mix),  # new in r5
+        "fuzzy_decontaminate": _wrap(q_fuzzy_decontaminate),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -4317,6 +4344,44 @@ def oracle_sql() -> dict[str, str]:
         "image_entropy_gate": (
             "select image_id, entropy, n_gray, flat "
             f"from read_parquet('{_fixture('image_entropy210_expected.parquet')}')"
+        ),
+        "fuzzy_decontaminate": (
+            "with evals as ("
+            "select doc_id + 500000 as eval_id, text from documents where doc_id < 10 "
+            "union all select doc_id + 600000 as eval_id, "
+            "array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ') as text "
+            "from documents where doc_id >= 10 and doc_id < 20 "
+            "union all select * from (values "
+            "(700001, 'zzz qqq vvv unrelated eval text'), "
+            "(700002, 'mmm nnn ooo ppp rrr')) as t(eval_id, text)), "
+            f"csigs as (select _id, {minhash8} as sig from (select _id, {shingles} as sh "
+            f"from (select doc_id as _id, {toks_norm} as toks from documents))), "
+            f"esigs as (select _id, {minhash8} as sig from (select _id, {shingles} as sh "
+            f"from (select eval_id as _id, {toks_norm} as toks from evals))), "
+            "cbands as (select _id, unnest(["
+            "'0|' || sig[1] || '|' || sig[2], '1|' || sig[3] || '|' || sig[4], "
+            "'2|' || sig[5] || '|' || sig[6], '3|' || sig[7] || '|' || sig[8]]) as band_key "
+            "from csigs where sig[1] <> 'z'), "
+            "ebands as (select _id, unnest(["
+            "'0|' || sig[1] || '|' || sig[2], '1|' || sig[3] || '|' || sig[4], "
+            "'2|' || sig[5] || '|' || sig[6], '3|' || sig[7] || '|' || sig[8]]) as band_key "
+            "from esigs where sig[1] <> 'z'), "
+            "cand as (select distinct c._id as doc_id, e._id as eval_id "
+            "from cbands c join ebands e using (band_key)), "
+            "cshl as (select doc_id, list_distinct("
+            + shingles.replace("toks", toks_norm)
+            + ") as sh from documents), "
+            "eshl as (select eval_id, list_distinct("
+            + shingles.replace("toks", toks_norm)
+            + ") as sh from evals), "
+            "hits as (select distinct cand.doc_id from cand "
+            "join cshl sc on sc.doc_id = cand.doc_id "
+            "join eshl se on se.eval_id = cand.eval_id "
+            "where (case when len(sc.sh) + len(se.sh) - len(list_intersect(sc.sh, se.sh)) = 0 "
+            "then 0.0 else round(cast(len(list_intersect(sc.sh, se.sh)) as double) / "
+            "(len(sc.sh) + len(se.sh) - len(list_intersect(sc.sh, se.sh))), 4) end) >= 0.4) "
+            "select d.doc_id from documents d "
+            "where not exists (select 1 from hits h where h.doc_id = d.doc_id)"
         ),
         "alpha_mix": _alpha_mix_oracle_sql(),
         "quality_probe_weights": _probe_oracle_weights_sql(),

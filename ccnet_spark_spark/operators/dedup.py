@@ -357,6 +357,69 @@ def lsh_then_jaccard(
     )
 
 
+def fuzzy_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    algo: str = "sha2",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: drop corpus docs whose exact n-gram
+    Jaccard against ANY eval document reaches `threshold` — the leak the
+    exact 8-gram pass (decontaminate) can't see once eval text is lightly
+    paraphrased, truncated or reflowed. Same two-stage shape as
+    lsh_then_jaccard, but cross-corpus: corpus and eval sides are
+    MinHash-signed independently, candidates come from an equi-join of
+    band keys with the EVAL side broadcast (eval suites are benchmark-
+    sized; the corpus never self-joins and never shuffles text), and only
+    banded candidates pay the exact-Jaccard verify. Recall follows LSH
+    banding (an above-threshold pair missed by every band is missed here
+    too — exact copies always band); both engines band identically, so
+    the dropped set is deterministic."""
+    sigs_c = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, algo=algo)
+    sigs_e = minhash_signatures(eval_df, eval_id_col, eval_text_col, num_hashes, shingle_n, algo=algo)
+    rows = num_hashes // num_bands
+
+    def banded(sigs, col):
+        real = sigs.where(F.col("has_shingles")) if "has_shingles" in sigs.columns else sigs
+        return real.select(
+            col, F.explode(hashing.band_keys_expr(F.col("signature"), num_bands, rows)).alias("band_key")
+        )
+
+    cand = (
+        banded(sigs_c, id_col)
+        .join(F.broadcast(banded(sigs_e, eval_id_col)), on="band_key")
+        .select(id_col, eval_id_col)
+        .distinct()
+    )
+
+    def shingle_sets(frame, col, tcol):
+        toks = F.split(normalize_for_dedup_expr(F.col(tcol)), "\\s+")
+        return frame.select(
+            F.col(col), F.array_distinct(hashing.word_shingles_expr(toks, n=shingle_n)).alias("_sh")
+        )
+
+    sc = shingle_sets(df, id_col, text_col).withColumnRenamed("_sh", "_shc")
+    se = shingle_sets(eval_df, eval_id_col, eval_text_col).withColumnRenamed("_sh", "_she")
+    inter = F.size(F.array_intersect("_shc", "_she"))
+    union = F.size("_shc") + F.size("_she") - inter
+    jac = F.when(union > 0, F.round(inter / union, 4)).otherwise(F.lit(0.0))
+    hits = (
+        cand.join(sc, id_col)
+        .join(F.broadcast(se), eval_id_col)
+        .where(jac >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, on=id_col, how="left_anti")
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs found via shared
     shingles: explode shingles, self-join on shingle, count shared, compute

@@ -105,3 +105,44 @@ class TestAlphaMix:
         assert set(after) == set(before)
         total = sum(after.values()) / sum(before.values())
         assert 0.35 < total < 0.75  # near the 50% budget (hash quantization)
+
+
+class TestFuzzyDecontaminate:
+    def test_exact_and_unrelated(self, spark):
+        from ccnet_spark_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text"
+        )
+        # exact copies ALWAYS band -> guaranteed dropped
+        evals = docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 500000).alias("eval_id"), "text"
+        )
+        out = dedup.fuzzy_decontaminate(docs, evals, "doc_id", "text", threshold=0.4)
+        kept = {r.doc_id for r in out.select("doc_id").collect()}
+        assert kept.isdisjoint(set(range(10)))
+        # other corpus docs may legitimately sit above 0.4 Jaccard vs the
+        # copied texts (shared synthetic vocabulary) — only bound the count
+        assert docs.count() - 20 <= len(kept) <= docs.count() - 10
+        # an unrelated eval set drops nothing
+        unrelated = spark.createDataFrame(
+            [(1, "zzz qqq vvv totally unrelated"), (2, "mmm nnn ooo ppp rrr")],
+            "eval_id long, text string",
+        )
+        out2 = dedup.fuzzy_decontaminate(docs, unrelated, "doc_id", "text", threshold=0.4)
+        assert out2.count() == docs.count()
+
+    def test_eval_side_broadcast(self, spark):
+        from ccnet_spark_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text"
+        )
+        evals = docs.limit(5).select((F.col("doc_id") + 1000).alias("eval_id"), "text")
+        plan = (
+            dedup.fuzzy_decontaminate(docs, evals, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
