@@ -1827,6 +1827,53 @@ def q_fuzzy_decontaminate(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_selfhost_chain(spark, sf_dir):
+    """The ZERO-EXTERNAL-ARTIFACT chain — every model in the ccnet recipe
+    trained in-engine, composed end-to-end: (1) NB LID trained on the
+    teacher-labeled even-id captions assigns each held-out caption a
+    language; (2) the bigram LM trained on the same slice scores
+    perplexity UNDER THE PREDICTED LANGUAGE; (3) p30/p60 cutoffs trained
+    from those scores bucket the held-out half head/middle/tail. No
+    fastText binary, no KenLM arpa, no cutoff.csv — and every stage's
+    math is rebuilt by the DuckDB twin from the same CTE builders the
+    stages' unit oracles use."""
+    from ccnet_spark_spark.operators import nb_lid
+
+    labeled = _nb_lid_labeled(spark)
+    train = labeled.where((F.col("_i") % 2 == 0) & F.col("lang").isNotNull())
+    rest = labeled.where(F.col("_i") % 2 == 1)
+    # stage 1: trained LID
+    nb_model = nb_lid.train_nb_lid(train, text_col="caption")
+    langs = sorted(r.lang for r in nb_model["langs"].select("lang").collect())
+    pred = nb_lid.predict_nb_lid(rest, nb_model, langs, text_col="caption", id_col="image_id")
+    relabeled = rest.select("image_id", "caption").join(
+        pred.select("image_id", F.col("pred_lang").alias("lang")), "image_id"
+    )
+    # stage 2: trained LM perplexity under the PREDICTED language
+    lm_model = lm_op.train_bigram_lm(train, text_col="caption", lang_col="lang")
+    scored = lm_op.score_bigram_pp(
+        relabeled, lm_model, text_col="caption", lang_col="lang", id_col="image_id"
+    ).localCheckpoint()  # feeds the cutoff agg AND the bucket join
+    # stage 3: self-calibrated cutoffs + bucket
+    matrix = bucket_op.train_cutoff_matrix(scored, pp_col="lm_pp", lang_col="lang")
+    cut = matrix.groupBy("lang").agg(
+        F.max(F.when(F.col("pct") == 30, F.col("cutoff"))).alias("pp_head"),
+        F.max(F.when(F.col("pct") == 60, F.col("cutoff"))).alias("pp_tail"),
+    )
+    pp = F.col("lm_pp")
+    bucket = (
+        F.when(pp.isNull() | (pp < 0) | F.col("pp_head").isNull(), F.lit("all"))
+        .when(pp < F.col("pp_head"), F.lit("head"))
+        .when(pp < F.col("pp_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cut), on="lang", how="left")
+        .withColumn("bucket", bucket)
+        .select("image_id", "lang", "lm_pp", "bucket")
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3141,15 +3188,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correctness gate records only the FIRST 50 entries of this dict;
     # the window is rotated each round so every contract query gets a
     # driver-recorded green row while mature families keep regression
-    # coverage. This round: the 36 never-driver-recorded queries (the 3
+    # coverage. This round: the 37 never-driver-recorded queries (the 3
     # parked below the r4 window — dup_passage_stats, bpe_vocab,
-    # semdedup — plus the 33 queries added in r5) lead, followed by 14
+    # semdedup — plus the 34 queries added in r5) lead, followed by 13
     # SENTINELS spanning every family (relational core, pipeline
     # flagships, quality gates, near-dup/clustering, trainers, sampling,
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 136 contract queries.
+    # r1-r5 driver-recorded keys covers all 137 contract queries.
     # Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -3190,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_entropy_gate": _wrap(q_image_entropy_gate),  # new in r5
         "alpha_mix": _wrap(q_alpha_mix),  # new in r5
         "fuzzy_decontaminate": _wrap(q_fuzzy_decontaminate),  # new in r5
+        "selfhost_chain": _wrap(q_selfhost_chain),  # new in r5
         # --- sentinels: driver-recorded green in r1-r4, kept as
         # --- cross-round regression canaries (45 across all families) ---
         "dedup_keep": _wrap(q_dedup_keep),
@@ -4384,6 +4432,38 @@ def oracle_sql() -> dict[str, str]:
             "where not exists (select 1 from hits h where h.doc_id = d.doc_id)"
         ),
         "alpha_mix": _alpha_mix_oracle_sql(),
+        "selfhost_chain": (
+            "with lab as (select image_id, caption, lang, "
+            "cast(substr(image_id, 4) as int) as _i from ("
+            + models_mod.stub_lid_sql(
+                f"(select image_id, caption from read_parquet('{_fixture('pairs400_meta.parquet')}'))",
+                "caption",
+                ["image_id"],
+            )
+            + ") l), "
+            + nb_lid_op.nb_lid_ctes_sql(
+                "(select * from lab where _i % 2 = 0 and lang is not null)", "caption", "lang"
+            )
+            + ", "
+            + nb_lid_op.nb_lid_predict_sql("(select * from lab where _i % 2 = 1)", "caption", "image_id")
+            + ", relab as (select p.image_id, p.pred_lang as lang, l.caption "
+            "from nbpred p join lab l using (image_id)), "
+            + lm_op.lm_ctes_sql(
+                "(select * from lab where _i % 2 = 0 and lang is not null)", "caption", "lang"
+            )
+            + ", "
+            + lm_op.lm_score_sql("relab", "caption", "lang", "image_id")
+            + ", matrix as (select * from ("
+            + bucket_op.train_cutoff_matrix_sql("lmscore", "lm_pp", "lang")
+            + ") tm), "
+            "cut as (select lang, max(case when pct = 30 then cutoff end) as pp_head, "
+            "max(case when pct = 60 then cutoff end) as pp_tail from matrix group by lang) "
+            "select s.image_id, s.lang, s.lm_pp, "
+            "case when s.lm_pp is null or s.lm_pp < 0 or c.pp_head is null then 'all' "
+            "when s.lm_pp < c.pp_head then 'head' when s.lm_pp < c.pp_tail then 'middle' "
+            "else 'tail' end as bucket "
+            "from lmscore s left join cut c using (lang)"
+        ),
         "quality_probe_weights": _probe_oracle_weights_sql(),
         "quality_probe": _probe_oracle_sql(),
         "quality_chain": qc_sql,
