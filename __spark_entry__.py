@@ -1530,11 +1530,9 @@ def q_nb_lid_model(spark, sf_dir):
     so the engine can TRAIN its own identifier from labeled data instead
     of only consuming a binary. Trained here on the even-id half of the
     stub-LID-labeled caption corpus."""
-    from ccnet_spark_spark.operators import nb_lid
-
     labeled = _nb_lid_labeled(spark)
     train = labeled.where((F.col("_i") % 2 == 0) & F.col("lang").isNotNull())
-    model = nb_lid.train_nb_lid(train, text_col="caption")
+    model = nb_lid_op.train_nb_lid(train, text_col="caption")
     return model["grams"].select("lang", "gram", "c", "logp")
 
 
@@ -1548,14 +1546,12 @@ def q_nb_lid_distill(spark, sf_dir):
     closed-form unseen mass; argmax is a deterministic row_number.
     Student-teacher agreement on the held-out half is pytest-pinned
     >= 0.9 (tests/test_nb_lid.py)."""
-    from ccnet_spark_spark.operators import nb_lid
-
     labeled = _nb_lid_labeled(spark)
     train = labeled.where((F.col("_i") % 2 == 0) & F.col("lang").isNotNull())
     rest = labeled.where(F.col("_i") % 2 == 1)
-    model = nb_lid.train_nb_lid(train, text_col="caption")
+    model = nb_lid_op.train_nb_lid(train, text_col="caption")
     langs = sorted(r.lang for r in model["langs"].select("lang").collect())
-    pred = nb_lid.predict_nb_lid(rest, model, langs, text_col="caption", id_col="image_id")
+    pred = nb_lid_op.predict_nb_lid(rest, model, langs, text_col="caption", id_col="image_id")
     return (
         rest.select("image_id", "lang")
         .join(pred, "image_id")
@@ -1671,10 +1667,8 @@ def q_dsir_model(spark, sf_dir):
     target count, raw count and the smoothed delta log-prob — the entire
     importance model is <= 4096 rows (broadcast by construction),
     trained with two explode+groupBy passes (operators/dsir.py)."""
-    from ccnet_spark_spark.operators import dsir as dsir_mod
-
     target, raw = _dsir_corpora(spark)
-    model = dsir_mod.train_dsir(target, raw, text_col="caption")
+    model = dsir_op.train_dsir(target, raw, text_col="caption")
     return model["model"].select("bucket", "ct", "cr", "delta_logp")
 
 
@@ -1686,12 +1680,10 @@ def q_dsir_select(spark, sf_dir):
     a trained percentile cutoff as a scan predicate (resample_topk
     docstring). Selected rows are overwhelmingly the teacher's 'en' —
     pytest-pinned precision >= 0.9 (tests/test_dsir.py)."""
-    from ccnet_spark_spark.operators import dsir as dsir_mod
-
     target, raw = _dsir_corpora(spark)
-    model = dsir_mod.train_dsir(target, raw, text_col="caption")
-    scored = dsir_mod.score_dsir(raw, model, text_col="caption", id_col="image_id")
-    return dsir_mod.resample_topk(scored, 60, id_col="image_id")
+    model = dsir_op.train_dsir(target, raw, text_col="caption")
+    scored = dsir_op.score_dsir(raw, model, text_col="caption", id_col="image_id")
+    return dsir_op.resample_topk(scored, 60, id_col="image_id")
 
 
 def q_bpe_encode(spark, sf_dir):
@@ -1732,10 +1724,8 @@ def q_dsir_stream_score(spark, sf_dir):
     score is a per-document aggregation of exploded grams — each doc
     arrives whole in one batch row, so per-batch application is exact and
     the streamed output must equal the batch twin row-for-row."""
-    from ccnet_spark_spark.operators import dsir as dsir_mod
-
     target, raw = _dsir_corpora(spark)
-    trained = dsir_mod.train_dsir(target, raw, text_col="caption")
+    trained = dsir_op.train_dsir(target, raw, text_col="caption")
     frozen = dict(trained, model=trained["model"].localCheckpoint())
     src, sink, ckpt = _stream_dirs("dsir_stream_score")
     raw.select("image_id", "caption").write.mode("append").parquet(src)
@@ -1746,7 +1736,7 @@ def q_dsir_stream_score(spark, sf_dir):
     )
 
     def score_batch(batch_df, _batch_id):
-        out = dsir_mod.score_dsir(batch_df, frozen, text_col="caption", id_col="image_id")
+        out = dsir_op.score_dsir(batch_df, frozen, text_col="caption", id_col="image_id")
         out.write.mode("append").parquet(sink)
 
     q = (
@@ -1837,15 +1827,13 @@ def q_selfhost_chain(spark, sf_dir):
     fastText binary, no KenLM arpa, no cutoff.csv — and every stage's
     math is rebuilt by the DuckDB twin from the same CTE builders the
     stages' unit oracles use."""
-    from ccnet_spark_spark.operators import nb_lid
-
     labeled = _nb_lid_labeled(spark)
     train = labeled.where((F.col("_i") % 2 == 0) & F.col("lang").isNotNull())
     rest = labeled.where(F.col("_i") % 2 == 1)
     # stage 1: trained LID
-    nb_model = nb_lid.train_nb_lid(train, text_col="caption")
+    nb_model = nb_lid_op.train_nb_lid(train, text_col="caption")
     langs = sorted(r.lang for r in nb_model["langs"].select("lang").collect())
-    pred = nb_lid.predict_nb_lid(rest, nb_model, langs, text_col="caption", id_col="image_id")
+    pred = nb_lid_op.predict_nb_lid(rest, nb_model, langs, text_col="caption", id_col="image_id")
     relabeled = rest.select("image_id", "caption").join(
         pred.select("image_id", F.col("pred_lang").alias("lang")), "image_id"
     )
@@ -3446,10 +3434,15 @@ def _probe_oracle_sql() -> str:
     )
 
 
+_ALPHA_MIX_SQL_CACHE: dict[str, str] = {}
+
+
 def _alpha_mix_oracle_sql() -> str:
     import duckdb
 
     pq = _probe_docs_pq()
+    if pq in _ALPHA_MIX_SQL_CACHE:
+        return _ALPHA_MIX_SQL_CACHE[pq]
     counts = {
         r[0]: int(r[1])
         for r in duckdb.sql(
@@ -3459,7 +3452,8 @@ def _alpha_mix_oracle_sql() -> str:
     }
     rates = sample.alpha_mix_rates(counts, 0.3, 0.5)
     pred = sample.stratified_hash_sample_sql("doc_id", "lang", rates)
-    return f"select doc_id, lang from documents where {pred}"
+    _ALPHA_MIX_SQL_CACHE[pq] = f"select doc_id, lang from documents where {pred}"
+    return _ALPHA_MIX_SQL_CACHE[pq]
 
 
 def _assert_fixture_sf(sf_dir: str) -> None:

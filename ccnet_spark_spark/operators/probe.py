@@ -146,12 +146,22 @@ def train_ridge(
     aggregation (measured 6-10 s for 2.5k rows × 464 cells at d=29); the
     vectorized partial-matmul is the shape MLlib's own normal-equation
     solver uses and is ~20× faster here. `label_col` must be an int 0/1
-    column already on df."""
+    column already on df.
+
+    NULL text or label rows are filtered BEFORE the projection: a NULL
+    feature arrives in the Arrow batch as NaN and numpy's int64
+    conversion would silently wrap it to -2^63, poisoning the Gram with
+    no error. Overflow bound: per-partition accumulation is int64 —
+    safe while rows-per-partition × max(feature)² stays under 2^63
+    (~1e10 rows/partition at 1e4-char docs; real partitions are orders
+    of magnitude smaller) — and the cross-partition sum runs in
+    unbounded Python ints, so total corpus size never overflows."""
     import pandas as pd
 
     feats = feature_exprs(text_col, lang_col, langs)
     d = len(feats)
-    proj = df.select(
+    clean = df.where(F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
+    proj = clean.select(
         F.col(label_col).cast("bigint").alias("_y"),
         *[c.alias(f"_f{i}") for i, (_n, c) in enumerate(feats)],
     )
@@ -164,9 +174,13 @@ def train_ridge(
         yield pd.DataFrame({"cell": [acc.reshape(-1).tolist()]})
 
     rows = proj.mapInPandas(gram_partial, "cell array<long>").collect()
-    gram = np.zeros((d + 1, d + 1), dtype=np.int64)
+    # cross-partition sum in PYTHON ints (unbounded) — int64 here could
+    # wrap at extreme corpus sizes even when every partial is safe
+    cells = [0] * ((d + 1) * (d + 1))
     for r in rows:
-        gram += np.array(r.cell, dtype=np.int64).reshape(d + 1, d + 1)
+        for i, v in enumerate(r.cell):
+            cells[i] += v
+    gram = np.array(cells, dtype=np.float64).reshape(d + 1, d + 1)
     xty = gram[0, 1:]
     xtx = gram[1:, 1:]
     return solve_ridge(xtx, xty, lam)
@@ -187,7 +201,8 @@ def oracle_train_ridge(
     cols = ", ".join(f"{sql} as {name}" for name, sql in feature_sqls("text", "lang", langs))
     q = (
         f"select {cols}, cast({label_sql} as bigint) as label "
-        f"from read_parquet('{parquet_path}') where {where_sql}"
+        f"from read_parquet('{parquet_path}') "
+        f"where ({where_sql}) and text is not null"
     )
     pdf = duckdb.sql(q).df()
     x = pdf[feature_names(langs)].to_numpy(dtype=np.int64)

@@ -268,6 +268,10 @@ class Pipeline:
             if cfg.lid_artifact:
                 from ..operators import nb_lid as nb_lid_op
 
+                # the predict side branches off `enriched` and joins back —
+                # checkpoint first or the upstream dedup subtree replays
+                # per consumer (the r3 multi-branch gotcha)
+                enriched = enriched.localCheckpoint()
                 model = nb_lid_op.load_model(self.spark, cfg.lid_artifact)
                 lang_values = sorted(r.lang for r in model["langs"].select("lang").collect())
                 pred = nb_lid_op.predict_nb_lid(
@@ -301,9 +305,12 @@ class Pipeline:
                 enriched = tokenize.with_tokenized(enriched, "dedup_caption", cfg.lm_dir)
             if "lm" in cfg.steps and cfg.lm_artifact:
                 # trained-LM path: three broadcast joins + a DECIMAL sum
-                # per doc (operators/lm.py), joined back on the id
+                # per doc (operators/lm.py), joined back on the id; the
+                # scorer branches off `enriched` — checkpoint first or the
+                # upstream subtree (incl. a pandas-UDF LID stage) replays
                 from ..operators import lm as lm_op
 
+                enriched = enriched.localCheckpoint()
                 model = lm_op.load_model(self.spark, cfg.lm_artifact)
                 scored = lm_op.score_bigram_pp(
                     enriched.select(id_col, "dedup_caption", "lang"),

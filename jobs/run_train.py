@@ -49,7 +49,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     ap.add_argument("--target", default=None, help="dsir mode: target-distribution table")
     ap.add_argument("--pp-col", default="perplexity", help="cutoffs mode: perplexity column")
     ap.add_argument("--num-merges", type=int, default=16, help="bpe mode")
-    ap.add_argument("--batch-size", type=int, default=16, help="bpe mode: merges per Spark round")
+    ap.add_argument(
+        "--batch-size",
+        type=int,
+        default=1,
+        help="bpe mode: merges per Spark round. Default 1 = classic "
+        "sequential BPE (matches the engine's pinned fixtures and "
+        "bpe_vocab/bpe_encode contract output); >1 is the real-scale "
+        "batched schedule, which legitimately diverges near vocab "
+        "exhaustion (see operators/bpe.py)",
+    )
     args = ap.parse_args(argv)
 
     from ccnet_spark_spark.session import get_spark

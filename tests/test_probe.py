@@ -29,6 +29,22 @@ def test_spark_and_oracle_trainers_agree_bitwise(spark):
     assert w_spark == w_oracle  # bit-exact, not approx
 
 
+def test_null_rows_do_not_poison_training(spark):
+    """A NULL text (or label) row must be filtered, not wrapped to -2^63
+    by the NaN->int64 conversion inside the Gram partial."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").withColumn(
+        "label", F.when(F.size(F.split("text", " ")) >= 20, F.lit(1)).otherwise(F.lit(0))
+    )
+    poisoned = docs.unionByName(
+        docs.limit(2).withColumn("text", F.lit(None).cast("string"))
+    ).unionByName(docs.limit(1).withColumn("label", F.lit(None).cast("int")))
+    w_clean = probe.train_ridge(docs, "label", langs=LANGS)
+    w_poisoned = probe.train_ridge(poisoned, "label", langs=LANGS)
+    assert w_clean == w_poisoned  # bit-equal: null rows contributed nothing
+
+
 def test_features_match_pandas(spark):
     rows = [
         (1, "the cat and a dog 12 jumped", "en"),

@@ -23,6 +23,8 @@ _args = [a for a in sys.argv[1:] if not a.startswith("--")]
 N_ROWS = int(_args[0]) if len(_args) > 0 else 480_000
 ROUNDS = int(_args[1]) if len(_args) > 1 else 3
 LEVELS = [int(x) for x in (_args[2] if len(_args) > 2 else "8,32").split(",")]
+if len(LEVELS) != 2:
+    raise SystemExit(f"levels must be exactly two (N,4N), got {LEVELS}")
 
 CHILD = r"""
 import os, sys, time, json
