@@ -1862,6 +1862,84 @@ def q_selfhost_chain(spark, sf_dir):
     )
 
 
+def q_corrupt_quarantine(spark, sf_dir):
+    """Ingestion-time payload quarantine (operators/multimodal.
+    validate_payloads): classify every payload ok/broken with a
+    machine-actionable reason instead of failing the job — at 10^12
+    ingested rows truncated fetches, mislabeled formats and metadata
+    dimension lies are a statistical certainty. Corpus = 200 generated
+    pairs + gen_quarantine_pairs (5 corruption kinds x 8 variants each,
+    incl. an untouched control copy). Header-only checks — the raster is
+    length-checked, never decoded. Oracle = pinned verdict table from an
+    INDEPENDENT spec-level regex validator (tools/make_fixtures.py) that
+    shares only the format spec + reason ladder with the engine."""
+    from ccnet_spark_spark.operators.multimodal import validate_payloads
+    from ccnet_spark_spark.schema import PAIRS_SCHEMA
+    from ccnet_spark_spark.synth import gen_quarantine_pairs, generate_pairs
+
+    base = generate_pairs(spark, 200)
+    plants = spark.createDataFrame(gen_quarantine_pairs(8), schema=PAIRS_SCHEMA)
+    return validate_payloads(base.unionByName(plants))
+
+
+def q_alignment_selfcal(spark, sf_dir):
+    """LAION-style SELF-CALIBRATING alignment filter: keep each language's
+    top-30% best-aligned image+caption pairs — the CLIP-score analog of
+    cc_net's per-language percentile bucketing (q_selfcal_bucket), so the
+    keep threshold adapts to each language's score distribution instead
+    of one global constant. Per-lang cutoff = percentile(alignment, 0.7)
+    trained on the corpus itself (exact percentile here so the DuckDB
+    quantile_cont twin verifies the math; percentile_approx is the
+    documented 10^12 swap — operators/bucket.py), broadcast cutoff join,
+    NULL-LID captions form their own calibration group (eqNullSafe).
+    Both sides compare against the 4dp-rounded cutoff, removing
+    interpolation-ulp boundary risk. Oracle recomputes alignment from
+    the two independent-reimplementation embedding fixtures, the lang
+    from the shared-markers stub-LID twin, and the cutoffs via
+    quantile_cont."""
+    from ccnet_spark_spark.operators import lid as lid_op
+    from ccnet_spark_spark.operators.multimodal import caption_image_alignment
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 200)
+    al = caption_image_alignment(pairs, tau=0.1).where(F.col("alignment").isNotNull())
+    langs = lid_op.with_lang(pairs.select("image_id", "caption"), "caption").select(
+        "image_id", "lang"
+    )
+    # scored feeds BOTH the cutoff aggregation and the final keep join —
+    # checkpoint the narrow (id, lang, alignment) frame or the decode +
+    # two embedding towers replay per consumer (the multi-consumer
+    # gotcha, SCALE.md; measured 20 Python nodes -> 3)
+    scored = (
+        al.join(langs, "image_id").select("image_id", "lang", "alignment").localCheckpoint()
+    )
+    cut = scored.groupBy(F.col("lang").alias("_cl")).agg(
+        F.expr("percentile(alignment, 0.7)").alias("_cut")
+    )
+    out = scored.join(F.broadcast(cut), scored["lang"].eqNullSafe(F.col("_cl")), "left")
+    return out.where(F.col("alignment") >= F.round(F.col("_cut"), 4)).select(
+        "image_id", "lang", "alignment", F.round("_cut", 4).alias("cutoff")
+    )
+
+
+def q_diverse_sample(spark, sf_dir):
+    """DataComp/MetaCLIP-style CLUSTER-BALANCED selection: cap every
+    semantic neighborhood at K rows so over-represented content (stock
+    photos, boilerplate product shots) can't dominate the training mix.
+    Composition of two oracle-proven pieces: hyperplane-LSH bucket over
+    the embedding (2^6 seeded buckets — the bounded-cardinality cluster
+    key; similarity.with_lsh_bucket) + group_quota's content-hash cap
+    (K=8 per bucket, learned-cutoff broadcast so the corpus never
+    shuffles — operators/sample.py). Oracle = the composed twin
+    (lsh_bucket_sql inside group_quota_sql)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    planes = similarity.hyperplanes(64, 6, seed=7)
+    b = similarity.with_lsh_bucket(emb.select("vec_id", "embedding"), "embedding", planes)
+    return sample.group_quota(b, "lsh_bucket", quota=8, id_col="vec_id").select(
+        "vec_id", "lsh_bucket"
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3343,6 +3421,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _wrap(q_quantiles),
         "star_join": _wrap(q_star_join),
         "pricing_summary": _wrap(q_pricing_summary),
+        # --- new in r5 (late, past the 50-slot window — rotate into the
+        # --- window in r6; until then verified by tools/check_oracle.py
+        # --- and the determinism suite like every past-window entry) ---
+        "corrupt_quarantine": _wrap(q_corrupt_quarantine),
+        "alignment_selfcal": _wrap(q_alignment_selfcal),
+        "diverse_sample": _wrap(q_diverse_sample),
     }
 
 
@@ -4742,6 +4826,47 @@ def oracle_sql() -> dict[str, str]:
             f"select {_ttl_hash('caption one')} as hash_value, cast(2 as bigint) as n_emits "
             f"union all select {_ttl_hash('caption two')}, cast(2 as bigint) "
             f"union all select {_ttl_hash('caption three')}, cast(1 as bigint)"
+        ),
+        # --- new in r5 (late; past-window, see queries() ordering note) ---
+        "corrupt_quarantine": (
+            "select image_id, fmt, ok, reason "
+            f"from read_parquet('{_fixture('payload_quarantine_expected.parquet')}')"
+        ),
+        "alignment_selfcal": (
+            "with al as (select a.image_id, " + cos + " as alignment "
+            f"from read_parquet('{_fixture('image_embed200_expected.parquet')}') a "
+            f"join read_parquet('{_fixture('caption_embed200_expected.parquet')}') b "
+            "using (image_id) where a.image_id not like '%\\_dup' escape '\\'), "
+            "lid as (select image_id, lang from ("
+            + models_mod.stub_lid_sql(
+                "(select image_id, caption from "
+                f"read_parquet('{_fixture('pairs400_input.parquet')}') "
+                "where image_id < 'img0000000200')",
+                "caption",
+                ["image_id"],
+            )
+            + ")), "
+            "scored as (select al.image_id, lid.lang, al.alignment "
+            "from al join lid using (image_id) where al.alignment is not null), "
+            "cut as (select lang, quantile_cont(alignment, 0.7) as _cut "
+            "from scored group by lang) "
+            "select s.image_id, s.lang, s.alignment, round(c._cut, 4) as cutoff "
+            "from scored s join cut c on s.lang is not distinct from c.lang "
+            "where s.alignment >= round(c._cut, 4)"
+        ),
+        "diverse_sample": (
+            "select vec_id, lsh_bucket from ("
+            + sample.group_quota_sql(
+                "(select vec_id, "
+                + similarity.lsh_bucket_sql(
+                    "embedding", similarity.hyperplanes(64, 6, seed=7)
+                )
+                + " as lsh_bucket from embeddings)",
+                "lsh_bucket",
+                8,
+                "vec_id",
+            )
+            + ")"
         ),
     }
 

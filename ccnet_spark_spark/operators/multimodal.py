@@ -480,3 +480,75 @@ def audio_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("audio_id", "bytes", "sample_rate").mapInPandas(op, schema=AUDIO_STATS_SCHEMA)
+
+
+# --------------------------------------------------- ingestion quarantine
+QUARANTINE_SCHEMA = "image_id string, fmt string, ok boolean, reason string"
+
+_MAGIC_FOR_FMT = {"ppm": b"P6", "qjpg": b"QJ"}
+
+
+def classify_payload(data: bytes, fmt: str | None, meta_w: int, meta_h: int) -> str:
+    """Classify one payload against the format spec + its metadata columns.
+
+    This is the SHARED REASON SPEC, checked in order (the independent
+    fixture validator in tools/make_fixtures.py re-implements the same
+    ladder from the format spec without importing this module):
+
+    - ``unsupported_fmt``  fmt column names no known codec
+    - ``bad_header``       header does not tokenize to magic + 3 integer
+                           fields terminated by a single whitespace byte
+    - ``bad_magic``        header magic disagrees with the fmt column
+    - ``dims_mismatch``    header (w, h) disagree with the metadata columns
+    - ``bad_raster``       raster byte count != w*h*3
+    - ``ok``
+    """
+    magic = _MAGIC_FOR_FMT.get(fmt or "")
+    if magic is None:
+        return "unsupported_fmt"
+    try:
+        toks, off, _ = codecs.parse_header(data)
+        w, h = int(toks[1]), int(toks[2])
+        int(toks[3])
+    except ValueError:
+        return "bad_header"
+    if toks[0] != magic:
+        return "bad_magic"
+    if w != int(meta_w) or h != int(meta_h):
+        return "dims_mismatch"
+    if len(data) - off != w * h * 3:
+        return "bad_raster"
+    return "ok"
+
+
+def validate_payloads(df: DataFrame) -> DataFrame:
+    """Ingestion-time payload quarantine: classify every image payload
+    ok/broken WITHOUT failing the job — at 10^12 ingested rows corrupt
+    payloads (truncated fetches, mislabeled formats, dimension lies in
+    upstream metadata) are a statistical certainty, and one bad row must
+    never kill a stage. Header-only checks: the raster is length-checked,
+    never decoded, so the per-row cost is O(header) + len().
+
+    One Arrow-batched pass over (image_id, bytes, fmt, w, h); output is
+    the NARROW verdict frame (no payload). Routing at scale: join the
+    verdict back on image_id (both sides are co-partitioned outputs of
+    the same scan) or re-run the classifier inside one full-row
+    mapInPandas writing partitionBy('ok') — never `.where()` the verdict
+    frame's two branches separately off one decode (the multi-consumer
+    replay gotcha, SCALE.md)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                reason = classify_payload(bytes(data), fmt, w, h)
+                rows.append(
+                    {"image_id": img_id, "fmt": fmt, "ok": reason == "ok", "reason": reason}
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "fmt", "ok", "reason"])
+
+    return df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        op, schema=QUARANTINE_SCHEMA
+    )

@@ -241,3 +241,44 @@ def generate_audio(spark, n_rows: int, seed: int = DEFAULT_SEED, partitions: int
                 yield pd.DataFrame([gen_audio_row(int(i), seed) for i in ids])
 
     return spark.range(0, n_rows, 1, partitions).mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+# ------------------------------------------------- quarantine plant corpus
+# Corruption kinds for the payload-quarantine contract query; the KIND
+# list and the byte mutations are the shared INPUT construction (like the
+# simhash plant constants) — the verdicts are recomputed independently on
+# each side (operators/multimodal.classify_payload vs the fixture's
+# spec-level validator in tools/make_fixtures.py).
+QUARANTINE_KINDS = ("bad_header", "bad_magic", "bad_raster", "dims_mismatch", "ok_copy")
+
+
+def gen_quarantine_pairs(k: int = 8, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """k corrupt variants PER KIND, derived from generated rows 0..k-1:
+    truncated header, wrong magic, short raster, metadata dimension lie,
+    plus an untouched control copy. Pure function of (k, seed), so the
+    fixture maker and the contract query derive identical bytes."""
+    base = gen_pandas(0, k, seed)
+    rows = []
+    for r in base.itertuples():
+        data = bytes(r.bytes)
+        variants = {
+            "bad_header": (data[:6], r.w, r.h),
+            "bad_magic": (b"XX" + data[2:], r.w, r.h),
+            "bad_raster": (data[:-3], r.w, r.h),
+            "dims_mismatch": (data, r.w + 1, r.h),
+            "ok_copy": (data, r.w, r.h),
+        }
+        for kind in QUARANTINE_KINDS:
+            payload, w, h = variants[kind]
+            rows.append(
+                {
+                    "image_id": f"img_{kind}_{r.Index:03d}",
+                    "bytes": bytearray(payload),
+                    "w": int(w),
+                    "h": int(h),
+                    "fmt": r.fmt,
+                    "caption": r.caption,
+                    "phash": int(r.phash),
+                }
+            )
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])

@@ -1,0 +1,132 @@
+"""Round-5 late additions: payload quarantine, self-calibrating alignment
+filter, cluster-balanced diverse sampling.
+
+The contract queries are value-checked against DuckDB by the oracle
+harness; these tests pin the operator-level semantics (reason ladder,
+quota bound, percentile keep rule) and the plan shapes.
+"""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ccnet_spark_spark.operators.multimodal import classify_payload, validate_payloads
+from ccnet_spark_spark.schema import PAIRS_SCHEMA
+from ccnet_spark_spark.synth import QUARANTINE_KINDS, gen_pandas, gen_quarantine_pairs
+
+
+# --------------------------------------------------------- quarantine unit
+def test_classify_payload_reason_ladder():
+    r = gen_pandas(0, 1).iloc[0]
+    data = bytes(r.bytes)
+    assert classify_payload(data, r.fmt, r.w, r.h) == "ok"
+    assert classify_payload(data[:6], r.fmt, r.w, r.h) == "bad_header"
+    assert classify_payload(b"XX" + data[2:], r.fmt, r.w, r.h) == "bad_magic"
+    assert classify_payload(data[:-1], r.fmt, r.w, r.h) == "bad_raster"
+    assert classify_payload(data + b"x", r.fmt, r.w, r.h) == "bad_raster"
+    assert classify_payload(data, r.fmt, r.w + 1, r.h) == "dims_mismatch"
+    assert classify_payload(data, r.fmt, r.w, r.h - 1) == "dims_mismatch"
+    assert classify_payload(data, "png", r.w, r.h) == "unsupported_fmt"
+    assert classify_payload(data, None, r.w, r.h) == "unsupported_fmt"
+    # ladder ORDER: a wrong-magic payload with lying dims reports the
+    # magic first (shared spec with the independent fixture validator)
+    assert classify_payload(b"XX" + data[2:], r.fmt, r.w + 1, r.h) == "bad_magic"
+    # header with a non-integer field is bad_header, not a crash
+    assert classify_payload(b"P6 ab 8 255\n" + b"\0" * 192, "ppm", 8, 8) == "bad_header"
+    # empty payload
+    assert classify_payload(b"", r.fmt, r.w, r.h) == "bad_header"
+
+
+def test_validate_payloads_never_raises_and_matches_kinds(spark):
+    plants = spark.createDataFrame(gen_quarantine_pairs(4), schema=PAIRS_SCHEMA)
+    out = validate_payloads(plants).toPandas().set_index("image_id")
+    for kind in QUARANTINE_KINDS:
+        for i in range(4):
+            row = out.loc[f"img_{kind}_{i:03d}"]
+            expect = "ok" if kind == "ok_copy" else kind
+            assert row.reason == expect
+            assert bool(row.ok) == (expect == "ok")
+
+
+def test_validate_payloads_plan_no_shuffle(spark):
+    plants = spark.createDataFrame(gen_quarantine_pairs(2), schema=PAIRS_SCHEMA)
+    plan = validate_payloads(plants)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_quarantine_fixture_fresh():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    disk = pd.read_parquet(os.path.join(repo, "fixtures", "payload_quarantine_expected.parquet"))
+    assert len(disk) == 240, "stale fixture — rerun tools/make_fixtures.py"
+    assert int((~disk.ok).sum()) == 32
+    # engine classifier agrees with the independent validator row-for-row
+    src = pd.concat([gen_pandas(0, 200), gen_quarantine_pairs(8)], ignore_index=True)
+    got = [
+        classify_payload(bytes(r.bytes), r.fmt, int(r.w), int(r.h)) for r in src.itertuples()
+    ]
+    assert got == disk.reason.tolist()
+
+
+# ------------------------------------------------------- diverse sampling
+def test_diverse_sample_quota_and_determinism(spark):
+    from ccnet_spark_spark.operators import sample, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planes = similarity.hyperplanes(64, 6, seed=7)
+    b = similarity.with_lsh_bucket(emb, "embedding", planes)
+    out = sample.group_quota(b, "lsh_bucket", quota=8, id_col="vec_id")
+    pdf = out.toPandas()
+    assert pdf.groupby("lsh_bucket").size().max() <= 8
+    # groups at/below quota are kept whole
+    sizes = b.groupBy("lsh_bucket").count().toPandas().set_index("lsh_bucket")["count"]
+    kept = pdf.groupby("lsh_bucket").size()
+    for bucket, n in sizes.items():
+        assert kept.get(bucket, 0) == min(int(n), 8)
+    # partition-layout invariance: same kept id set from a reshuffled input
+    pdf2 = sample.group_quota(
+        b.repartition(13, "vec_id"), "lsh_bucket", quota=8, id_col="vec_id"
+    ).toPandas()
+    assert sorted(pdf2.vec_id) == sorted(pdf.vec_id)
+
+
+# ------------------------------------------------- alignment self-calibration
+def test_alignment_selfcal_keep_rule(spark):
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location("entry", os.path.join(repo, "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    kept = entry.q_alignment_selfcal(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(kept) > 0
+    # every kept row clears its own language's cutoff
+    assert (kept.alignment >= kept.cutoff).all()
+    # one cutoff per language group (null lang is its own group)
+    per_lang = kept.groupby(kept.lang.fillna("__null__")).cutoff.nunique()
+    assert (per_lang == 1).all()
+    # self-calibration keeps roughly the top 30% of each language — never
+    # more than 40% of the group, never empty for groups of >= 4 rows
+    from ccnet_spark_spark.operators import lid as lid_op
+    from ccnet_spark_spark.operators.multimodal import caption_image_alignment
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 200)
+    al = caption_image_alignment(pairs, tau=0.1).where(F.col("alignment").isNotNull())
+    langs = lid_op.with_lang(pairs.select("image_id", "caption"), "caption").select(
+        "image_id", "lang"
+    )
+    scored = al.join(langs, "image_id").toPandas()
+    group_sizes = scored.groupby(scored.lang.fillna("__null__")).size()
+    kept_sizes = kept.groupby(kept.lang.fillna("__null__")).size()
+    for lang, n in group_sizes.items():
+        k = int(kept_sizes.get(lang, 0))
+        assert k <= max(1, int(0.4 * n) + 1), (lang, k, n)
+        if n >= 4:
+            assert k >= 1, (lang, n)

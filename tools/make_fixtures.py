@@ -540,6 +540,54 @@ def make_simhash_expected(sf_dir: str) -> None:
     print(f"{name}: {len(out)} rows")
 
 
+def _validate_independent(data: bytes, fmt: str, w: int, h: int) -> str:
+    """Spec-level payload validator (reason ladder documented at
+    operators/multimodal.classify_payload) re-implemented from the FORMAT
+    SPEC with a regex header match — no codecs import: header = magic +
+    three integer fields, whitespace-separated, one whitespace terminator;
+    raster = w*h*3 raw bytes."""
+    import re
+
+    magic = {"ppm": b"P6", "qjpg": b"QJ"}.get(fmt or "")
+    if magic is None:
+        return "unsupported_fmt"
+    m = re.match(rb"(\S+)\s(\d+)\s(\d+)\s(\d+)\s", data[:64])
+    if m is None:
+        return "bad_header"
+    if m.group(1) != magic:
+        return "bad_magic"
+    hw, hh = int(m.group(2)), int(m.group(3))
+    if hw != w or hh != h:
+        return "dims_mismatch"
+    if len(data) - m.end() != hw * hh * 3:
+        return "bad_raster"
+    return "ok"
+
+
+def make_payload_quarantine_expected(n: int = 200, k: int = 8) -> None:
+    """Expected verdicts of multimodal.validate_payloads over n generated
+    pairs + the gen_quarantine_pairs plant corpus (5 kinds x k variants),
+    classified by the INDEPENDENT spec-level validator above."""
+    from ccnet_spark_spark.synth import gen_pandas, gen_quarantine_pairs
+
+    src = pd.concat([gen_pandas(0, n), gen_quarantine_pairs(k)], ignore_index=True)
+    out = pd.DataFrame(
+        {
+            "image_id": src["image_id"],
+            "fmt": src["fmt"],
+            "reason": [
+                _validate_independent(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                for r in src.itertuples()
+            ],
+        }
+    )
+    out["ok"] = out["reason"] == "ok"
+    out = out[["image_id", "fmt", "ok", "reason"]]
+    out.to_parquet(os.path.join(FIXTURES, "payload_quarantine_expected.parquet"), index=False)
+    bad = out[~out.ok].reason.value_counts().to_dict()
+    print(f"payload_quarantine_expected.parquet: {len(out)} rows, quarantined by reason: {bad}")
+
+
 if __name__ == "__main__":
     make_pairs_input()
     make_pairs_phash()
@@ -551,6 +599,7 @@ if __name__ == "__main__":
     make_audio_stats_expected()
     make_image_stats_expected()
     make_image_entropy_expected()
+    make_payload_quarantine_expected()
     make_image_resize_expected()
     make_aspect_resize_expected()
     make_image_embedding_expected()
