@@ -1909,7 +1909,7 @@ def q_alignment_selfcal(spark, sf_dir):
     # scored feeds BOTH the cutoff aggregation and the final keep join —
     # checkpoint the narrow (id, lang, alignment) frame or the decode +
     # two embedding towers replay per consumer (the multi-consumer
-    # gotcha, SCALE.md; measured 20 Python nodes -> 3)
+    # gotcha, SCALE.md; measured 20 Python nodes -> 0 post-checkpoint)
     scored = (
         al.join(langs, "image_id").select("image_id", "lang", "alignment").localCheckpoint()
     )

@@ -500,6 +500,7 @@ def classify_payload(data: bytes, fmt: str | None, meta_w: int, meta_h: int) -> 
                            fields terminated by a single whitespace byte
     - ``bad_magic``        header magic disagrees with the fmt column
     - ``dims_mismatch``    header (w, h) disagree with the metadata columns
+                           (or the metadata dims are missing/unparseable)
     - ``bad_raster``       raster byte count != w*h*3
     - ``ok``
     """
@@ -514,7 +515,11 @@ def classify_payload(data: bytes, fmt: str | None, meta_w: int, meta_h: int) -> 
         return "bad_header"
     if toks[0] != magic:
         return "bad_magic"
-    if w != int(meta_w) or h != int(meta_h):
+    try:
+        mw, mh = int(meta_w), int(meta_h)
+    except (TypeError, ValueError):  # NULL metadata (None) or NaN from Arrow
+        return "dims_mismatch"
+    if w != mw or h != mh:
         return "dims_mismatch"
     if len(data) - off != w * h * 3:
         return "bad_raster"
@@ -543,7 +548,8 @@ def validate_payloads(df: DataFrame) -> DataFrame:
             for img_id, data, fmt, w, h in zip(
                 pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
             ):
-                reason = classify_payload(bytes(data), fmt, w, h)
+                payload = bytes(data) if isinstance(data, (bytes, bytearray)) else b""
+                reason = classify_payload(payload, fmt, w, h)
                 rows.append(
                     {"image_id": img_id, "fmt": fmt, "ok": reason == "ok", "reason": reason}
                 )
@@ -552,3 +558,37 @@ def validate_payloads(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
         op, schema=QUARANTINE_SCHEMA
     )
+
+
+def quarantine_passthrough(pairs: DataFrame) -> DataFrame:
+    """Pipeline form of the quarantine: ONE full-row mapInPandas that
+    emits only rows whose payload classifies ``ok`` — the stage-0 filter
+    that makes the rest of the pipeline safe to run on real ingested
+    data (payload_scrub and every decode stage PARSE headers and raise on
+    corrupt bytes; one truncated fetch in 10^12 rows must not kill the
+    job). NULL payloads are broken by definition here (classified
+    bad_header) — run this AFTER any stage that owns NULL-payload rows,
+    or before, if NULL payloads should drop. Zero shuffle; the payload
+    crosses Arrow once, headers only are parsed (raster length-checked,
+    never decoded). For a quarantine SINK (keep the bad rows + reasons
+    for operator review) use validate_payloads and write its verdict
+    frame partitioned by reason."""
+    cols = list(pairs.columns)
+    for c in ("bytes", "fmt", "w", "h"):
+        if c not in cols:
+            raise ValueError(f"quarantine requires the pair column {c!r}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = [
+                classify_payload(
+                    bytes(b) if isinstance(b, (bytes, bytearray)) else b"", f, w, h
+                )
+                == "ok"
+                for b, f, w, h in zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"])
+            ]
+            out = pdf[pd.Series(mask, index=pdf.index)]
+            if len(out):
+                yield out
+
+    return pairs.mapInPandas(op, schema=pairs.schema)

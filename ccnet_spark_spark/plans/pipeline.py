@@ -105,6 +105,14 @@ class Config:
     # full row (multimodal.scrub_metadata_passthrough); pixels are
     # bit-identical by construction. Requires the pair columns (bytes, fmt).
     payload_scrub: bool = False
+    # engine addition (off by default): payload QUARANTINE as stage 0 —
+    # drop rows whose payload fails header/metadata validation
+    # (multimodal.classify_payload) BEFORE anything parses them: the
+    # metadata scrub and every decode stage raise on corrupt bytes, and
+    # one truncated fetch in 10^12 ingested rows must not kill the job.
+    # One full-row Arrow crossing, headers only (raster never decoded).
+    # Requires the pair columns (bytes, fmt, w, h).
+    quarantine: bool = False
     # engine additions (off by default) completing the DataComp-style
     # cost-ordered cascade AFTER the scan-predicate gates: first the
     # boilerplate-caption budget (ONE window-count shuffle over gate
@@ -142,6 +150,13 @@ class Pipeline:
         for col in ENGINE_COLUMNS:
             if col in df.columns:
                 df = df.withColumnRenamed(col, f"src_{col}")
+        if cfg.quarantine:
+            from ..operators.multimodal import quarantine_passthrough
+
+            # FIRST, before the scrub: strip_metadata raises on corrupt
+            # headers, so a corrupt corpus with payload_scrub on would
+            # fail the stage without this gate
+            df = quarantine_passthrough(df)
         if cfg.payload_scrub:
             from ..operators.multimodal import scrub_metadata_passthrough
 

@@ -54,6 +54,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     ap.add_argument("--model-gates-mode", default="join", choices=["join", "fused"], help="join = narrow id keep-sets semi-joined back; fused = one mapInPandas appends verdicts to the full row (zero shuffle, materializes survivors)")
     ap.add_argument("--align-tau", type=float, default=0.1, help="caption-image alignment cosine threshold")
     ap.add_argument("--scrub-payload-metadata", action="store_true", help="strip image-payload header metadata (EXIF-analog PII) before any retention decision; pixels bit-identical (requires pair columns bytes/fmt)")
+    ap.add_argument("--quarantine", action="store_true", help="stage-0 payload quarantine: drop rows whose payload fails header/metadata validation instead of letting a corrupt byte stream fail the job (requires pair columns bytes/fmt/w/h)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -84,6 +85,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         model_gates_mode=args.model_gates_mode,
         align_tau=args.align_tau,
         payload_scrub=args.scrub_payload_metadata,
+        quarantine=args.quarantine,
         steps=[st for st in ALL_STEPS if st != "lid"] if args.lang_col else list(ALL_STEPS),
     )
     pipe = Pipeline(spark, cfg)

@@ -98,3 +98,26 @@ def test_run_pipeline_cli_curated_fused_matches_join(spark, tmp_path):
         )
         assert 0 < len(outs[mode]) < 120
     assert outs["join"] == outs["fused"]
+
+
+def test_run_pipeline_cli_quarantine(spark, tmp_path):
+    """--quarantine drops corrupt payloads at stage 0; without it the same
+    corrupt corpus fails inside --scrub-payload-metadata."""
+    from ccnet_spark_spark.schema import PAIRS_SCHEMA
+    from ccnet_spark_spark.synth import gen_quarantine_pairs, generate_pairs
+
+    inp = str(tmp_path / "pairs_corrupt")
+    corrupt = spark.createDataFrame(gen_quarantine_pairs(3), schema=PAIRS_SCHEMA)
+    generate_pairs(spark, 40).unionByName(corrupt).write.parquet(inp)
+    out = str(tmp_path / "out_quarantine")
+    rc = run_pipeline.main(
+        [
+            "--input", inp, "--output", out, "--cutoffs", CUTOFFS, "--min-len", "10",
+            "--quarantine", "--scrub-payload-metadata",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    ids = {r.image_id for r in spark.read.parquet(out).select("image_id").collect()}
+    assert not any(i.startswith(("img_bad_", "img_dims_")) for i in ids)
+    assert any(i.startswith("img_ok_copy_") for i in ids)

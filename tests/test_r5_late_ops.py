@@ -130,3 +130,53 @@ def test_alignment_selfcal_keep_rule(spark):
         assert k <= max(1, int(0.4 * n) + 1), (lang, k, n)
         if n >= 4:
             assert k >= 1, (lang, n)
+
+
+# ------------------------------------------------- pipeline quarantine stage
+def test_quarantine_passthrough_filters_and_survives_nulls(spark):
+    from pyspark.sql import Row
+
+    from ccnet_spark_spark.operators.multimodal import quarantine_passthrough
+
+    plants = spark.createDataFrame(gen_quarantine_pairs(4), schema=PAIRS_SCHEMA)
+    nulls = spark.createDataFrame(
+        [
+            Row(image_id="null_bytes", bytes=None, w=8, h=8, fmt="ppm", caption="c", phash=0),
+            Row(
+                image_id="null_dims",
+                bytes=bytearray(gen_pandas(0, 1).iloc[0].bytes),
+                w=None,
+                h=None,
+                fmt=gen_pandas(0, 1).iloc[0].fmt,
+                caption="c",
+                phash=0,
+            ),
+        ],
+        schema=PAIRS_SCHEMA,
+    )
+    out = quarantine_passthrough(plants.unionByName(nulls)).toPandas()
+    # only the untouched control copies survive; NULL payload/dims drop
+    assert sorted(out.image_id) == [f"img_ok_copy_{i:03d}" for i in range(4)]
+    # schema is unchanged (full-row passthrough)
+    assert list(out.columns) == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+
+def test_pipeline_quarantine_gates_the_scrub(spark):
+    """The motivation pin: payload_scrub PARSES headers and must fail on a
+    corrupt corpus; quarantine=True in front makes the same corpus run
+    clean and drop exactly the corrupt plants."""
+    from ccnet_spark_spark.plans.pipeline import Config, Pipeline
+    from ccnet_spark_spark.synth import generate_pairs
+
+    corrupt = spark.createDataFrame(gen_quarantine_pairs(3), schema=PAIRS_SCHEMA)
+    corpus = generate_pairs(spark, 40).unionByName(corrupt)
+
+    with pytest.raises(Exception):
+        Pipeline(spark, Config(payload_scrub=True)).run(corpus).count()
+
+    out = Pipeline(spark, Config(quarantine=True, payload_scrub=True)).run(corpus)
+    ids = [r.image_id for r in out.select("image_id").collect()]
+    assert not any(
+        i.startswith(("img_bad_", "img_dims_")) for i in ids
+    ), "corrupt plants must be quarantined before the scrub"
+    assert any(i.startswith("img_ok_copy_") for i in ids), "control copies must survive"

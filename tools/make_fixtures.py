@@ -556,8 +556,12 @@ def _validate_independent(data: bytes, fmt: str, w: int, h: int) -> str:
         return "bad_header"
     if m.group(1) != magic:
         return "bad_magic"
+    try:
+        mw, mh = int(w), int(h)
+    except (TypeError, ValueError):  # missing/unparseable metadata dims
+        return "dims_mismatch"
     hw, hh = int(m.group(2)), int(m.group(3))
-    if hw != w or hh != h:
+    if hw != mw or hh != mh:
         return "dims_mismatch"
     if len(data) - m.end() != hw * hh * 3:
         return "bad_raster"
