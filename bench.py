@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "lm_selftrain_bucket",
     "nb_lid_distill",
     "quality_probe",
+    # r5 late additions (quarantine + calibration + balancing)
+    "corrupt_quarantine",
+    "alignment_selfcal",
+    "diverse_sample",
 ]
 
 
