@@ -1940,6 +1940,26 @@ def q_diverse_sample(spark, sf_dir):
     )
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """SEMANTIC benchmark decontamination (similarity.
+    semantic_decontaminate): drop corpus rows whose EMBEDDING
+    near-duplicates any eval row at cosine >= 0.3 — completes the
+    decontamination family (exact 8-gram `decontaminate`, fuzzy-Jaccard
+    `fuzzy_decontaminate`, image-side `image_decontaminate`) with the
+    leak class none of them see: paraphrases/re-crops sharing an
+    embedding neighborhood. Eval set = the first 10 corpus embeddings
+    (exact leaks, cosine 1.0 — ALWAYS bucket-colocated by construction)
+    plus whatever genuinely neighbors them (threshold 0.3 on the
+    near-orthogonal synthetic embeddings, the semdedup convention; 20
+    rows flag at sf0.01). Oracle rebuilds buckets from the same seeded
+    plane literals and the 4dp cosine in DuckDB."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    evals = emb.where(F.col("vec_id") < 10).select("embedding")
+    return similarity.semantic_decontaminate(
+        emb, evals, threshold=0.3, n_planes=4, dim=64, seed=11
+    ).select("vec_id", "label")
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3427,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corrupt_quarantine": _wrap(q_corrupt_quarantine),
         "alignment_selfcal": _wrap(q_alignment_selfcal),
         "diverse_sample": _wrap(q_diverse_sample),
+        "semantic_decontaminate": _wrap(q_semantic_decontaminate),
     }
 
 
@@ -4853,6 +4874,18 @@ def oracle_sql() -> dict[str, str]:
             "select s.image_id, s.lang, s.alignment, round(c._cut, 4) as cutoff "
             "from scored s join cut c on s.lang is not distinct from c.lang "
             "where s.alignment >= round(c._cut, 4)"
+        ),
+        "semantic_decontaminate": (
+            "with b as (select embedding, "
+            + similarity.lsh_bucket_sql("embedding", similarity.hyperplanes(64, 4, seed=11))
+            + " as lsh_bucket from embeddings where vec_id < 10), "
+            "a as (select vec_id, embedding, "
+            + similarity.lsh_bucket_sql("embedding", similarity.hyperplanes(64, 4, seed=11))
+            + " as lsh_bucket from embeddings), "
+            "flagged as (select distinct a.vec_id from a join b using (lsh_bucket) "
+            "where " + cos + " >= 0.3) "
+            "select e.vec_id, e.label from embeddings e "
+            "where e.vec_id not in (select vec_id from flagged)"
         ),
         "diverse_sample": (
             "select vec_id, lsh_bucket from ("

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "corrupt_quarantine",
     "alignment_selfcal",
     "diverse_sample",
+    "semantic_decontaminate",
 ]
 
 

@@ -225,3 +225,49 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id", vec_col: str = "em
         .where(F.col("cosine") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: drop every corpus row whose
+    embedding near-duplicates ANY eval-set row at cosine >= threshold —
+    the leak class the n-gram (dedup.decontaminate) and fuzzy-Jaccard
+    (dedup.fuzzy_decontaminate) passes can't see (paraphrases,
+    translations, re-crops sharing an embedding neighborhood).
+
+    Scale shape mirrors the other decontaminations: the EVAL side is tiny
+    and BROADCASTS (bucketed by the same seeded hyperplanes); the corpus
+    side computes its bucket as a scan-side sign expression and
+    equi-joins — never all-pairs, the corpus never shuffles. Flagged ids
+    are a sliver by construction and anti-join back as a broadcast.
+    Exact-cosine verify inside the bucket (4dp, the engine convention)
+    keeps LSH recall the only approximation — same planes on both sides,
+    so an exact leak (cosine 1.0) ALWAYS shares the bucket and is always
+    caught."""
+    planes = hyperplanes(dim, n_planes, seed)
+    cb = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, planes).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"), "lsh_bucket"
+    )
+    eb = with_lsh_bucket(eval_df.select(vec_col), vec_col, planes).select(
+        F.col(vec_col).alias("_ev"), "lsh_bucket"
+    )
+    cos = F.round(
+        _dot(F.col("_cv").cast("array<double>"), F.col("_ev").cast("array<double>"))
+        / (_norm(F.col("_cv").cast("array<double>")) * _norm(F.col("_ev").cast("array<double>"))),
+        4,
+    )
+    flagged = (
+        cb.join(F.broadcast(eb), "lsh_bucket")
+        .where(cos >= threshold)
+        .select(F.col("_cid").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

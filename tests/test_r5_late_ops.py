@@ -180,3 +180,23 @@ def test_pipeline_quarantine_gates_the_scrub(spark):
         i.startswith(("img_bad_", "img_dims_")) for i in ids
     ), "corrupt plants must be quarantined before the scrub"
     assert any(i.startswith("img_ok_copy_") for i in ids), "control copies must survive"
+
+
+# ------------------------------------------------- semantic decontamination
+def test_semantic_decontaminate_catches_exact_leaks(spark):
+    from ccnet_spark_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    evals = emb.where(F.col("vec_id") < 10).select("embedding")
+    out = similarity.semantic_decontaminate(
+        emb, evals, threshold=0.3, n_planes=4, dim=64, seed=11
+    )
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    # exact leaks (cosine 1.0, always bucket-colocated) must ALL drop
+    assert not (ids & set(range(10)))
+    # and decontamination must not wipe the corpus
+    assert len(ids) > 400
+    # eval side broadcasts; corpus is never cross-joined
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
