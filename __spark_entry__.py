@@ -1868,8 +1868,10 @@ def q_corrupt_quarantine(spark, sf_dir):
     machine-actionable reason instead of failing the job — at 10^12
     ingested rows truncated fetches, mislabeled formats and metadata
     dimension lies are a statistical certainty. Corpus = 200 generated
-    pairs + gen_quarantine_pairs (5 corruption kinds x 8 variants each,
-    incl. an untouched control copy). Header-only checks — the raster is
+    pairs + gen_quarantine_pairs (7 kinds x 8 variants each: 4 corruption
+    classes, an untouched control copy, and two spec-valid NON-CANONICAL
+    headers — comment-carrying and multi-whitespace gaps — that must
+    classify ok, pinning the full header grammar on both sides). Header-only checks — the raster is
     length-checked, never decoded. Oracle = pinned verdict table from an
     INDEPENDENT spec-level regex validator (tools/make_fixtures.py) that
     shares only the format spec + reason ladder with the engine."""

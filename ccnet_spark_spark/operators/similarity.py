@@ -259,14 +259,9 @@ def semantic_decontaminate(
     eb = with_lsh_bucket(eval_df.select(vec_col), vec_col, planes).select(
         F.col(vec_col).alias("_ev"), "lsh_bucket"
     )
-    cos = F.round(
-        _dot(F.col("_cv").cast("array<double>"), F.col("_ev").cast("array<double>"))
-        / (_norm(F.col("_cv").cast("array<double>")) * _norm(F.col("_ev").cast("array<double>"))),
-        4,
-    )
     flagged = (
-        cb.join(F.broadcast(eb), "lsh_bucket")
-        .where(cos >= threshold)
+        with_cosine(cb.join(F.broadcast(eb), "lsh_bucket"), "_cv", "_ev")
+        .where(F.col("cosine") >= threshold)
         .select(F.col("_cid").alias(id_col))
         .distinct()
     )

@@ -249,14 +249,27 @@ def generate_audio(spark, n_rows: int, seed: int = DEFAULT_SEED, partitions: int
 # simhash plant constants) — the verdicts are recomputed independently on
 # each side (operators/multimodal.classify_payload vs the fixture's
 # spec-level validator in tools/make_fixtures.py).
-QUARANTINE_KINDS = ("bad_header", "bad_magic", "bad_raster", "dims_mismatch", "ok_copy")
+QUARANTINE_KINDS = (
+    "bad_header",
+    "bad_magic",
+    "bad_raster",
+    "dims_mismatch",
+    "ok_copy",
+    # spec-valid NON-CANONICAL headers — must classify ok on both sides
+    # (they exercise the full header grammar: comments and multi-byte
+    # whitespace gaps between tokens, which real-world Netpbm carries)
+    "ok_comment",
+    "ok_multispace",
+)
 
 
 def gen_quarantine_pairs(k: int = 8, seed: int = DEFAULT_SEED) -> pd.DataFrame:
-    """k corrupt variants PER KIND, derived from generated rows 0..k-1:
-    truncated header, wrong magic, short raster, metadata dimension lie,
-    plus an untouched control copy. Pure function of (k, seed), so the
-    fixture maker and the contract query derive identical bytes."""
+    """k variants PER KIND, derived from generated rows 0..k-1: truncated
+    header, wrong magic, short raster, metadata dimension lie, an
+    untouched control copy, and two spec-valid non-canonical headers
+    (comment in the first token gap; doubled whitespace). Pure function
+    of (k, seed), so the fixture maker and the contract query derive
+    identical bytes."""
     base = gen_pandas(0, k, seed)
     rows = []
     for r in base.itertuples():
@@ -267,6 +280,14 @@ def gen_quarantine_pairs(k: int = 8, seed: int = DEFAULT_SEED) -> pd.DataFrame:
             "bad_raster": (data[:-3], r.w, r.h),
             "dims_mismatch": (data, r.w + 1, r.h),
             "ok_copy": (data, r.w, r.h),
+            # first gap (after the magic) gains a comment / extra space —
+            # header-only mutations, the raster bytes are untouched
+            "ok_comment": (
+                data.replace(b" ", b" # synthetic EXIF-ish creator tag\n", 1),
+                r.w,
+                r.h,
+            ),
+            "ok_multispace": (data.replace(b" ", b"  \t ", 1), r.w, r.h),
         }
         for kind in QUARANTINE_KINDS:
             payload, w, h = variants[kind]

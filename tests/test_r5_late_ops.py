@@ -48,8 +48,8 @@ def test_validate_payloads_never_raises_and_matches_kinds(spark):
     for kind in QUARANTINE_KINDS:
         for i in range(4):
             row = out.loc[f"img_{kind}_{i:03d}"]
-            expect = "ok" if kind == "ok_copy" else kind
-            assert row.reason == expect
+            expect = "ok" if kind.startswith("ok_") else kind
+            assert row.reason == expect, (kind, i, row.reason)
             assert bool(row.ok) == (expect == "ok")
 
 
@@ -62,7 +62,7 @@ def test_validate_payloads_plan_no_shuffle(spark):
 def test_quarantine_fixture_fresh():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     disk = pd.read_parquet(os.path.join(repo, "fixtures", "payload_quarantine_expected.parquet"))
-    assert len(disk) == 240, "stale fixture — rerun tools/make_fixtures.py"
+    assert len(disk) == 256, "stale fixture — rerun tools/make_fixtures.py"
     assert int((~disk.ok).sum()) == 32
     # engine classifier agrees with the independent validator row-for-row
     src = pd.concat([gen_pandas(0, 200), gen_quarantine_pairs(8)], ignore_index=True)
@@ -155,8 +155,14 @@ def test_quarantine_passthrough_filters_and_survives_nulls(spark):
         schema=PAIRS_SCHEMA,
     )
     out = quarantine_passthrough(plants.unionByName(nulls)).toPandas()
-    # only the untouched control copies survive; NULL payload/dims drop
-    assert sorted(out.image_id) == [f"img_ok_copy_{i:03d}" for i in range(4)]
+    # only the spec-valid variants survive (untouched copies + the
+    # comment/multi-whitespace non-canonical headers); NULL payload/dims drop
+    expect = sorted(
+        f"img_{kind}_{i:03d}"
+        for kind in ("ok_copy", "ok_comment", "ok_multispace")
+        for i in range(4)
+    )
+    assert sorted(out.image_id) == expect
     # schema is unchanged (full-row passthrough)
     assert list(out.columns) == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 

@@ -543,15 +543,27 @@ def make_simhash_expected(sf_dir: str) -> None:
 def _validate_independent(data: bytes, fmt: str, w: int, h: int) -> str:
     """Spec-level payload validator (reason ladder documented at
     operators/multimodal.classify_payload) re-implemented from the FORMAT
-    SPEC with a regex header match — no codecs import: header = magic +
-    three integer fields, whitespace-separated, one whitespace terminator;
-    raster = w*h*3 raw bytes."""
+    SPEC with a regex header grammar — no codecs import. The grammar is
+    the full Netpbm-style spec the engine implements, not a canonical
+    subset: tokens separated by ANY mix of whitespace and `#`-to-newline
+    comments (leading gap allowed), token = run of non-whitespace
+    non-`#` bytes, three signed-integer fields, and exactly ONE
+    whitespace byte terminating the header (raster bytes may start with
+    0x23/whitespace values); raster = w*h*3 raw bytes."""
     import re
 
     magic = {"ppm": b"P6", "qjpg": b"QJ"}.get(fmt or "")
     if magic is None:
         return "unsupported_fmt"
-    m = re.match(rb"(\S+)\s(\d+)\s(\d+)\s(\d+)\s", data[:64])
+    gap = rb"(?:\s|#[^\n]*\n)"
+    m = re.match(
+        gap + rb"*([^\s#]+)"  # magic
+        + gap + rb"+([+-]?\d+)"  # w
+        + gap + rb"+([+-]?\d+)"  # h
+        + gap + rb"+([+-]?\d+)"  # maxval / step
+        + rb"\s",  # single terminator
+        data,
+    )
     if m is None:
         return "bad_header"
     if m.group(1) != magic:
