@@ -172,3 +172,71 @@ class TestImageMetadataScrub:
             clean, n = codecs.strip_metadata(tagged, fmt)
             assert clean == orig
             assert n == len(comments)
+
+
+class TestPayloadValidatorGrammarEquivalence:
+    """The engine classifier (operators/multimodal.classify_payload, built
+    on codecs.parse_header) and the fixture's INDEPENDENT regex-grammar
+    validator (tools/make_fixtures._validate_independent) share only the
+    format spec — fuzz arbitrary header mutations and pin that their
+    verdicts NEVER diverge (the r5 code-review found the independent side
+    implementing a canonical subset; this test makes that class of drift
+    impossible to reintroduce silently)."""
+
+    @staticmethod
+    def _both(data: bytes, fmt, w, h):
+        import os
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+            ),
+        )
+        import make_fixtures as mf
+
+        from ccnet_spark_spark.operators.multimodal import classify_payload
+
+        return classify_payload(data, fmt, w, h), mf._validate_independent(data, fmt, w, h)
+
+    @given(
+        st.integers(min_value=0, max_value=7),  # base generated pair
+        st.lists(
+            st.tuples(
+                st.sampled_from(["truncate", "flip", "insert_comment", "pad_ws", "chop", "grow"]),
+                st.integers(min_value=0, max_value=400),
+                st.binary(max_size=6),
+            ),
+            max_size=3,
+        ),
+        st.integers(min_value=-2, max_value=2),  # metadata w jitter
+        st.sampled_from(["keep", "ppm", "qjpg", "png", None]),
+    )
+    @settings(max_examples=400, deadline=None)
+    def test_verdicts_never_diverge(self, i, mutations, djit, fmt_override):
+        from ccnet_spark_spark.synth import gen_pandas
+
+        r = gen_pandas(i, i + 1).iloc[0]
+        data = bytes(r.bytes)
+        for kind, pos, blob in mutations:
+            p = pos % (len(data) + 1) if data else 0
+            if kind == "truncate":
+                data = data[:p]
+            elif kind == "flip" and data:
+                q = pos % len(data)
+                data = data[:q] + bytes([data[q] ^ 0x41]) + data[q + 1 :]
+            elif kind == "insert_comment":
+                data = data[:p] + b"# c " + blob.replace(b"\n", b"") + b"\n" + data[p:]
+            elif kind == "pad_ws":
+                data = data[:p] + b" \t " + data[p:]
+            elif kind == "chop":
+                data = data[: max(0, len(data) - (pos % 9))]
+            elif kind == "grow":
+                data = data + blob
+        fmt = r.fmt if fmt_override == "keep" else fmt_override
+        got_e, got_i = self._both(data, fmt, int(r.w) + djit, int(r.h))
+        assert got_e == got_i, (got_e, got_i, fmt, data[:40])
+        # and the real-metadata path agrees too
+        got_e2, got_i2 = self._both(data, r.fmt, int(r.w), int(r.h))
+        assert got_e2 == got_i2, (got_e2, got_i2, data[:40])
