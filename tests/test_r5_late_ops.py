@@ -206,3 +206,31 @@ def test_semantic_decontaminate_catches_exact_leaks(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------------- empty inputs
+def test_late_ops_empty_inputs(spark):
+    """Empty-input behavior of the session's operators: empty frames in,
+    empty (not crashed) frames out; empty eval set decontaminates nothing."""
+    from ccnet_spark_spark.operators import sample, similarity
+    from ccnet_spark_spark.operators.multimodal import (
+        quarantine_passthrough,
+        validate_payloads,
+    )
+
+    empty_pairs = spark.createDataFrame([], schema=PAIRS_SCHEMA)
+    assert validate_payloads(empty_pairs).count() == 0
+    assert quarantine_passthrough(empty_pairs).count() == 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty_emb = emb.limit(0)
+    # empty corpus -> empty selection
+    planes = similarity.hyperplanes(64, 6, seed=7)
+    b = similarity.with_lsh_bucket(empty_emb, "embedding", planes)
+    assert sample.group_quota(b, "lsh_bucket", quota=8, id_col="vec_id").count() == 0
+    # empty EVAL set -> nothing flagged, whole corpus survives
+    n = emb.count()
+    out = similarity.semantic_decontaminate(
+        emb, empty_emb.select("embedding"), threshold=0.3, n_planes=4, dim=64, seed=11
+    )
+    assert out.count() == n
