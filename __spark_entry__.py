@@ -1962,6 +1962,59 @@ def q_semantic_decontaminate(spark, sf_dir):
     ).select("vec_id", "label")
 
 
+def q_resume_roundtrip(spark, sf_dir):
+    """The north rule's CHECKPOINT/RESUME pillar as a value-checked query
+    (previously pytest-only): four input partitions (doc_id % 4) run
+    through a labeling stage via tables.run_resumable; the FIRST attempt
+    crashes after two partitions (run_one raises on the third), the
+    SECOND attempt reads the lineage sidecar and must process EXACTLY the
+    two pending partitions (asserted in-query) — and the assembled result
+    must row-for-row equal the single-shot twin (the oracle recomputes
+    every partition from `documents`). Write-then-mark gives at-least-once
+    per partition; per-partition overwrite makes replay idempotent, so
+    re-executing this query in the same session (the determinism guard
+    does) finds everything completed and changes nothing."""
+    from ccnet_spark_spark.sources import tables as tables_mod
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    parts = {
+        f"p{k}": docs.where(F.col("doc_id") % 4 == k).select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("length"),
+            F.length("text").alias("original_length"),
+            (F.length("text") >= MIN_LEN_DOCS).alias("keep"),
+            F.when(F.length("text") < MIN_LEN_DOCS, "short").otherwise("long").alias("bucket"),
+        )
+        for k in range(4)
+    }
+    # inside the query's pid-suffixed workspace: same-process re-runs see
+    # the completed sidecars (idempotent no-op, same rows); a fresh
+    # process gets a clean dir and exercises the full crash+resume path
+    result_path = os.path.join(_stream_dirs("resume_roundtrip")[0], "result")
+
+    crashed = {"n": 0}
+
+    def crashing_run_one(df):
+        if crashed["n"] == 2:
+            raise RuntimeError("synthetic mid-job crash after two partitions")
+        crashed["n"] += 1
+        return df
+
+    try:
+        tables_mod.run_resumable(spark, parts, result_path, crashing_run_one)
+    except RuntimeError:
+        pass
+    done_after_crash = set(tables_mod.completed_partitions(spark, result_path))
+    resumed = tables_mod.run_resumable(spark, parts, result_path, lambda df: df)
+    # resume must touch ONLY the partitions the crash left pending
+    assert set(resumed) == set(parts) - done_after_crash, (resumed, done_after_crash)
+    out = spark.read.parquet(result_path)
+    return out.select(
+        "doc_id", "lang", "length", "keep", "bucket", F.col("part_id").cast("string").alias("part_id")
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3450,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_selfcal": _wrap(q_alignment_selfcal),
         "diverse_sample": _wrap(q_diverse_sample),
         "semantic_decontaminate": _wrap(q_semantic_decontaminate),
+        "resume_roundtrip": _wrap(q_resume_roundtrip),
     }
 
 
@@ -4888,6 +4942,12 @@ def oracle_sql() -> dict[str, str]:
             "where " + cos + " >= 0.3) "
             "select e.vec_id, e.label from embeddings e "
             "where e.vec_id not in (select vec_id from flagged)"
+        ),
+        "resume_roundtrip": (
+            f"select doc_id, lang, length(text) as length, "
+            f"length(text) >= {MIN_LEN_DOCS} as keep, "
+            f"case when length(text) < {MIN_LEN_DOCS} then 'short' else 'long' end as bucket, "
+            "'p' || cast(doc_id % 4 as varchar) as part_id from documents"
         ),
         "diverse_sample": (
             "select vec_id, lsh_bucket from ("
