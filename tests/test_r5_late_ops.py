@@ -234,3 +234,35 @@ def test_late_ops_empty_inputs(spark):
         emb, empty_emb.select("embedding"), threshold=0.3, n_planes=4, dim=64, seed=11
     )
     assert out.count() == n
+
+
+def test_quarantine_passthrough_works_on_streams(spark, tmp_path):
+    """Stage-0 quarantine at STREAMING ingest: mapInPandas composes with
+    readStream, so the same operator gates a continuous ingestion job —
+    corrupt payloads drop in-flight, valid rows reach the sink."""
+    src = str(tmp_path / "qstream_src")
+    sink = str(tmp_path / "qstream_sink")
+    ckpt = str(tmp_path / "qstream_ckpt")
+    from ccnet_spark_spark.operators.multimodal import quarantine_passthrough
+
+    plants = spark.createDataFrame(gen_quarantine_pairs(4), schema=PAIRS_SCHEMA)
+    plants.write.parquet(src)
+    stream = spark.readStream.schema(PAIRS_SCHEMA).parquet(src)
+    q = (
+        quarantine_passthrough(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r.image_id for r in spark.read.parquet(sink).select("image_id").collect())
+    expect = sorted(
+        f"img_{kind}_{i:03d}"
+        for kind in ("ok_copy", "ok_comment", "ok_multispace")
+        for i in range(4)
+    )
+    assert ids == expect
