@@ -1971,9 +1971,14 @@ def q_resume_roundtrip(spark, sf_dir):
     two pending partitions (asserted in-query) — and the assembled result
     must row-for-row equal the single-shot twin (the oracle recomputes
     every partition from `documents`). Write-then-mark gives at-least-once
-    per partition; per-partition overwrite makes replay idempotent, so
-    re-executing this query in the same session (the determinism guard
-    does) finds everything completed and changes nothing."""
+    per partition; per-partition overwrite makes replay idempotent.
+    NOTE: _stream_dirs wipes this pid's workspace at every call, so each
+    EXECUTION of this query (incl. the determinism guard's second run)
+    gets a clean dir and exercises the FULL crash+resume path — identical
+    output every time because the partition content is deterministic.
+    The completed-sidecar skip path (resume finding nothing pending) is
+    exercised WITHIN each execution by the second run_resumable call
+    re-listing p0/p1 as done."""
     from ccnet_spark_spark.sources import tables as tables_mod
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
@@ -1988,9 +1993,9 @@ def q_resume_roundtrip(spark, sf_dir):
         )
         for k in range(4)
     }
-    # inside the query's pid-suffixed workspace: same-process re-runs see
-    # the completed sidecars (idempotent no-op, same rows); a fresh
-    # process gets a clean dir and exercises the full crash+resume path
+    # inside the query's pid-suffixed workspace (_stream_dirs wipes this
+    # pid's leftovers at call start, so every execution starts clean and
+    # runs the full crash+resume; concurrent processes never collide)
     result_path = os.path.join(_stream_dirs("resume_roundtrip")[0], "result")
 
     crashed = {"n": 0}

@@ -504,15 +504,21 @@ def classify_payload(data: bytes, fmt: str | None, meta_w: int, meta_h: int) -> 
     - ``bad_raster``       raster byte count != w*h*3
     - ``ok``
     """
+    import re
+
     magic = _MAGIC_FOR_FMT.get(fmt or "")
     if magic is None:
         return "unsupported_fmt"
     try:
         toks, off, _ = codecs.parse_header(data)
-        w, h = int(toks[1]), int(toks[2])
-        int(toks[3])
     except ValueError:
         return "bad_header"
+    # integer fields must be PURE signed digit runs: Python int() also
+    # accepts underscore grouping (int(b'1_6') == 16), which the spec —
+    # and the independent regex validator — do not (r5 review finding)
+    if not all(re.fullmatch(rb"[+-]?\d+", t) for t in toks[1:]):
+        return "bad_header"
+    w, h = int(toks[1]), int(toks[2])
     if toks[0] != magic:
         return "bad_magic"
     try:

@@ -7,6 +7,12 @@ covered separately (tests/test_fuzz_new_ops.py + the oracle gate); these
 pin the SEMANTIC contracts of the shared reference implementations."""
 
 import hashlib
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools")
+)
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -185,15 +191,6 @@ class TestPayloadValidatorGrammarEquivalence:
 
     @staticmethod
     def _both(data: bytes, fmt, w, h):
-        import os
-        import sys
-
-        sys.path.insert(
-            0,
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
-            ),
-        )
         import make_fixtures as mf
 
         from ccnet_spark_spark.operators.multimodal import classify_payload
@@ -204,7 +201,9 @@ class TestPayloadValidatorGrammarEquivalence:
         st.integers(min_value=0, max_value=7),  # base generated pair
         st.lists(
             st.tuples(
-                st.sampled_from(["truncate", "flip", "insert_comment", "pad_ws", "chop", "grow"]),
+                st.sampled_from(
+                    ["truncate", "flip", "insert_comment", "pad_ws", "chop", "grow", "splice"]
+                ),
                 st.integers(min_value=0, max_value=400),
                 st.binary(max_size=6),
             ),
@@ -234,6 +233,11 @@ class TestPayloadValidatorGrammarEquivalence:
                 data = data[: max(0, len(data) - (pos % 9))]
             elif kind == "grow":
                 data = data + blob
+            elif kind == "splice":
+                # arbitrary bytes ANYWHERE — including inside header tokens
+                # (e.g. b'_' inside a digit run: int() underscore grouping
+                # was a real engine/independent divergence, r5 review)
+                data = data[:p] + blob + data[p:]
         fmt = r.fmt if fmt_override == "keep" else fmt_override
         got_e, got_i = self._both(data, fmt, int(r.w) + djit, int(r.h))
         assert got_e == got_i, (got_e, got_i, fmt, data[:40])
