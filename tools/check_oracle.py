@@ -51,7 +51,13 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = sys.argv[1:]
+    # accept both space- and comma-separated names (a bare comma list used
+    # to silently match nothing); unknown names fail loudly instead of
+    # silently checking an empty set
+    only = [n for arg in sys.argv[1:] for n in arg.replace("--only", "").split(",") if n]
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}; known: {len(qs)} in queries()")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
