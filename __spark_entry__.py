@@ -2020,6 +2020,22 @@ def q_resume_roundtrip(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order assignment
+    (sample.epoch_shuffle): every row gets a content-defined (shard, pos)
+    — the reproducible global read order a training loader consumes,
+    decorrelated across epochs by re-keying the hash with the epoch
+    number. No global window (pos is per-shard, parallel across the 16
+    one-hex-char shards); identical across engines/retries by the same
+    sha256 convention hash_sample and group_quota use. The pytest pins
+    the permutation properties (each epoch is a complete permutation;
+    epoch 0 and epoch 1 orders genuinely differ)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sample.epoch_shuffle(docs, epoch=3, id_col="doc_id").select(
+        "doc_id", "lang", "shard", "pos"
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3509,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_sample": _wrap(q_diverse_sample),
         "semantic_decontaminate": _wrap(q_semantic_decontaminate),
         "resume_roundtrip": _wrap(q_resume_roundtrip),
+        "epoch_shuffle": _wrap(q_epoch_shuffle),
     }
 
 
@@ -4947,6 +4964,13 @@ def oracle_sql() -> dict[str, str]:
             "where " + cos + " >= 0.3) "
             "select e.vec_id, e.label from embeddings e "
             "where e.vec_id not in (select vec_id from flagged)"
+        ),
+        "epoch_shuffle": (
+            "select doc_id, lang, shard, pos from ("
+            + sample.epoch_shuffle_sql(
+                "(select doc_id, lang from documents)", 3, "doc_id"
+            )
+            + ")"
         ),
         "resume_roundtrip": (
             f"select doc_id, lang, length(text) as length, "

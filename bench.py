@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "alignment_selfcal",
     "diverse_sample",
     "semantic_decontaminate",
+    "epoch_shuffle",
 ]
 
 

@@ -304,3 +304,44 @@ def weighted_repeat_sql(
         f"select __t.*, cast(u.gs as int) as {copy_col} from {table} as __t, "
         f"lateral unnest(range(1, {n} + 1)) as u(gs)"
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, epoch: int, id_col: str | Column = "doc_id", shard_chars: int = 1
+) -> DataFrame:
+    """Deterministic TRAINING-ORDER shuffle: the data-loading side of the
+    pipeline (WebDataset/Megatron practice) needs a reproducible global
+    read order per epoch that (a) every worker can recompute without
+    coordination, (b) survives stage retries and cluster layouts, and
+    (c) decorrelates across epochs. Global order for epoch e is the pair
+    (shard, pos): shard = the first ``shard_chars`` hex chars of
+    sha256(id || ':' || e) — a bounded-cardinality content-defined key —
+    and pos = row_number within the shard ordered by (hash, id).
+
+    Scale shape: no global window (a single row_number over 10^12 rows
+    would serialize through ONE task) — the only shuffle is the
+    per-shard window over a narrow (id, hash) projection, parallel
+    across 16^shard_chars shards; readers consume shards in lexical
+    order, positions within each. Content-defined like hash_sample /
+    group_quota, so the order is identical across engines and retries;
+    changing ``epoch`` re-keys every hash and yields a fresh
+    decorrelated permutation."""
+    from pyspark.sql.window import Window
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.sha2(F.concat(c.cast("string"), F.lit(f":{int(epoch)}")), 256)
+    out = df.withColumn("_es_h", h).withColumn(
+        "shard", F.substring("_es_h", 1, shard_chars)
+    )
+    w = Window.partitionBy("shard").orderBy("_es_h", c)
+    return out.withColumn("pos", F.row_number().over(w)).drop("_es_h")
+
+
+def epoch_shuffle_sql(table: str, epoch: int, id_expr: str, shard_chars: int = 1) -> str:
+    """DuckDB twin: identical sha256 keying, identical window."""
+    h = f"sha256(cast({id_expr} as varchar) || ':{int(epoch)}')"
+    return (
+        f"select *, substring({h}, 1, {shard_chars}) as shard, "
+        f"row_number() over (partition by substring({h}, 1, {shard_chars}) "
+        f"order by {h}, {id_expr}) as pos from {table}"
+    )

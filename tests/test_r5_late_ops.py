@@ -266,3 +266,29 @@ def test_quarantine_passthrough_works_on_streams(spark, tmp_path):
         for i in range(4)
     )
     assert ids == expect
+
+
+# ------------------------------------------------------- epoch shuffling
+def test_epoch_shuffle_permutation_properties(spark):
+    from ccnet_spark_spark.operators import sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    n = docs.count()
+    e0 = sample.epoch_shuffle(docs, epoch=0).toPandas()
+    e1 = sample.epoch_shuffle(docs, epoch=1).toPandas()
+    for e in (e0, e1):
+        # complete permutation: every row present, positions contiguous per shard
+        assert len(e) == n and e.doc_id.nunique() == n
+        for _, grp in e.groupby("shard"):
+            assert sorted(grp.pos) == list(range(1, len(grp) + 1))
+    # epochs decorrelate: the global (shard, pos) order genuinely differs
+    o0 = e0.sort_values(["shard", "pos"]).doc_id.tolist()
+    o1 = e1.sort_values(["shard", "pos"]).doc_id.tolist()
+    assert o0 != o1
+    same = sum(a == b for a, b in zip(o0, o1))
+    assert same < n * 0.05, f"{same}/{n} fixed points — epochs not decorrelated"
+    # retry/layout invariance: same epoch, reshuffled input, identical order
+    e0b = sample.epoch_shuffle(docs.repartition(13), epoch=0).toPandas()
+    assert (
+        e0b.sort_values(["shard", "pos"]).doc_id.tolist() == o0
+    ), "order must be content-defined, not partition-defined"
