@@ -2036,6 +2036,27 @@ def q_epoch_shuffle(spark, sf_dir):
     )
 
 
+def q_token_budget_select(spark, sf_dir):
+    """Quality-first corpus selection under a TOKEN BUDGET
+    (sample.token_budget_select — the FineWeb-Edu construction: keep the
+    best-scored docs until the training-token budget is spent). Greedy
+    prefix of (quality_score desc, sha256(id), id) with integer token
+    costs, budget 12,000 (~45% of the sf0.01 corpus, so the boundary-band
+    and partial-sub-bucket machinery all exercise). Spark runs the
+    scale-safe two-level threshold form (no global window); the oracle
+    is the straight global-running-sum greedy — equal because the total
+    order is identical and integer costs compose exactly."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        textstats.quality_score_expr("text").alias("score"),
+        textstats.token_count_expr("text").alias("n_tokens"),
+    )
+    return sample.token_budget_select(
+        docs, budget=12_000, score_col="score", cost_col="n_tokens"
+    ).select("doc_id", "lang", "score", "n_tokens")
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3526,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": _wrap(q_semantic_decontaminate),
         "resume_roundtrip": _wrap(q_resume_roundtrip),
         "epoch_shuffle": _wrap(q_epoch_shuffle),
+        "token_budget_select": _wrap(q_token_budget_select),
     }
 
 
@@ -4964,6 +4986,21 @@ def oracle_sql() -> dict[str, str]:
             "where " + cos + " >= 0.3) "
             "select e.vec_id, e.label from embeddings e "
             "where e.vec_id not in (select vec_id from flagged)"
+        ),
+        "token_budget_select": (
+            "select doc_id, lang, score, n_tokens from ("
+            + sample.token_budget_select_sql(
+                "(select doc_id, lang, "
+                + textstats.quality_score_sql("text")
+                + " as score, "
+                + textstats.token_count_sql("text")
+                + " as n_tokens from documents)",
+                12_000,
+                "score",
+                "n_tokens",
+                "doc_id",
+            )
+            + ")"
         ),
         "epoch_shuffle": (
             "select doc_id, lang, shard, pos from ("

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "diverse_sample",
     "semantic_decontaminate",
     "epoch_shuffle",
+    "token_budget_select",
 ]
 
 

@@ -345,3 +345,96 @@ def epoch_shuffle_sql(table: str, epoch: int, id_expr: str, shard_chars: int = 1
         f"row_number() over (partition by substring({h}, 1, {shard_chars}) "
         f"order by {h}, {id_expr}) as pos from {table}"
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    cost_col: str = "cost",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-first CORPUS SELECTION under a token budget (the
+    FineWeb-Edu construction: keep the best-scored documents until the
+    training-token budget is spent). Selection = the maximal prefix of
+    the total order (score desc, sha256(id), id) whose cumulative cost
+    stays <= budget — greedy prefix, not knapsack; costs must be
+    INTEGERS (token counts), so every partial sum is exact and the
+    selected set is independent of summation order/engine.
+
+    Scale shape — NO global window (a 10^12-row running sum would
+    serialize through one task). Three bounded levels:
+      1. per-score-BAND cost totals (score is a rounded bounded-
+         cardinality column, e.g. quality_score_expr's 4dp => <=10^4
+         groups; one agg, collected driver-side),
+      2. the single boundary band sub-bucketed by the 2-hex sha prefix
+         (256 totals, collected),
+      3. a running sum over ONLY the final partial sub-bucket
+         (~corpus / |bands| / 256 rows — the one intentionally
+         single-task window, documented tiny).
+    Equals the straight greedy prefix (the DuckDB twin) because the
+    total order is identical and integer costs compose exactly.
+    NULL score/cost rows are excluded (unscorable docs can't be
+    budgeted)."""
+    from pyspark.sql.window import Window
+
+    c = F.col(id_col)
+    base = (
+        df.where(F.col(score_col).isNotNull() & F.col(cost_col).isNotNull())
+        .withColumn("_tb_h", F.sha2(c.cast("string"), 256))
+    )
+    bands = base.groupBy(score_col).agg(F.sum(cost_col).alias("_t")).collect()
+    bands.sort(key=lambda r: r[score_col], reverse=True)
+    rem, boundary = int(budget), None
+    for r in bands:
+        if int(r["_t"]) <= rem:
+            rem -= int(r["_t"])
+        else:
+            boundary = r[score_col]
+            break
+    if boundary is None:  # budget covers everything scorable
+        return base.drop("_tb_h")
+    parts = [base.where(F.col(score_col) > boundary).drop("_tb_h")]
+    bnd = base.where(F.col(score_col) == boundary).withColumn(
+        "_tb_sub", F.substring("_tb_h", 1, 2)
+    )
+    subs = bnd.groupBy("_tb_sub").agg(F.sum(cost_col).alias("_t")).collect()
+    subs.sort(key=lambda r: r["_tb_sub"])
+    b_sub = None
+    for r in subs:
+        if int(r["_t"]) <= rem:
+            rem -= int(r["_t"])
+        else:
+            b_sub = r["_tb_sub"]
+            break
+    if b_sub is None:
+        parts.append(bnd.drop("_tb_h", "_tb_sub"))
+    else:
+        parts.append(bnd.where(F.col("_tb_sub") < b_sub).drop("_tb_h", "_tb_sub"))
+        w = Window.orderBy("_tb_h", c).rowsBetween(Window.unboundedPreceding, 0)
+        parts.append(
+            bnd.where(F.col("_tb_sub") == b_sub)
+            .withColumn("_cum", F.sum(cost_col).over(w))
+            .where(F.col("_cum") <= rem)
+            .drop("_tb_h", "_tb_sub", "_cum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def token_budget_select_sql(
+    table: str, budget: int, score_expr: str, cost_expr: str, id_expr: str
+) -> str:
+    """DuckDB twin: the STRAIGHT greedy prefix over the identical total
+    order — one global running sum (fine at oracle scale), integer-exact."""
+    h = f"sha256(cast({id_expr} as varchar))"
+    return (
+        f"select * exclude (_cum) from (select *, sum({cost_expr}) over ("
+        f"order by {score_expr} desc, {h}, {id_expr} "
+        f"rows between unbounded preceding and current row) as _cum "
+        f"from (select * from {table}) "
+        f"where {score_expr} is not null and {cost_expr} is not null) "
+        f"where _cum <= {int(budget)}"
+    )

@@ -292,3 +292,43 @@ def test_epoch_shuffle_permutation_properties(spark):
     assert (
         e0b.sort_values(["shard", "pos"]).doc_id.tolist() == o0
     ), "order must be content-defined, not partition-defined"
+
+
+# ------------------------------------------------- token-budget selection
+def test_token_budget_select_matches_straight_greedy(spark):
+    import hashlib
+
+    from ccnet_spark_spark.functions import textstats
+    from ccnet_spark_spark.operators import sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        textstats.quality_score_expr("text").alias("score"),
+        textstats.token_count_expr("text").alias("n_tokens"),
+    )
+    pdf = docs.toPandas()
+    pdf["h"] = [hashlib.sha256(str(i).encode()).hexdigest() for i in pdf.doc_id]
+    ordered = pdf.sort_values(["score", "h", "doc_id"], ascending=[False, True, True])
+
+    def greedy(budget):
+        out, spent = [], 0
+        for r in ordered.itertuples():
+            if spent + r.n_tokens <= budget:
+                spent += r.n_tokens
+                out.append(r.doc_id)
+        # greedy PREFIX: stop at the first row that does not fit
+            else:
+                break
+        return sorted(out)
+
+    total = int(pdf.n_tokens.sum())
+    for budget in (0, 37, 5_000, 12_000, total, total + 10):
+        got = sorted(
+            r.doc_id
+            for r in sample.token_budget_select(
+                docs, budget=budget, score_col="score", cost_col="n_tokens"
+            ).collect()
+        )
+        assert got == greedy(budget), f"budget={budget}"
+        sel = pdf[pdf.doc_id.isin(got)]
+        assert int(sel.n_tokens.sum()) <= budget or budget > total
