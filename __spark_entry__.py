@@ -2057,6 +2057,28 @@ def q_token_budget_select(spark, sf_dir):
     ).select("doc_id", "lang", "score", "n_tokens")
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Cross-tower HARD-NEGATIVE mining (similarity.hard_negatives — the
+    contrastive-training practice: for each query image, the most-similar
+    NON-matching caption is the hardest in-batch negative). Queries = the
+    image tower of the first 20 pairs, corpus = the caption tower of all
+    200; candidates share the query's hyperplane-LSH bucket (2^3 buckets,
+    seeded planes — the bucket equi-join scale shape), exact 4dp cosine
+    re-rank, own-id excluded, top-1 kept. Oracle rebuilds both towers
+    from the independent-reimplementation embedding fixtures, the
+    buckets from the same plane literals, and the rank window in
+    DuckDB."""
+    from ccnet_spark_spark.operators.multimodal import caption_embedding, image_embedding
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 200)
+    img = image_embedding(pairs.where(F.col("image_id") < "img0000000020"))
+    cap = caption_embedding(pairs)
+    return similarity.hard_negatives(
+        img, cap, id_col="image_id", vec_col="embedding", k=1, n_planes=3, dim=64, seed=5
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3548,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_roundtrip": _wrap(q_resume_roundtrip),
         "epoch_shuffle": _wrap(q_epoch_shuffle),
         "token_budget_select": _wrap(q_token_budget_select),
+        "hard_negatives": _wrap(q_hard_negatives),
     }
 
 
@@ -4986,6 +5009,24 @@ def oracle_sql() -> dict[str, str]:
             "where " + cos + " >= 0.3) "
             "select e.vec_id, e.label from embeddings e "
             "where e.vec_id not in (select vec_id from flagged)"
+        ),
+        "hard_negatives": (
+            "with q as (select image_id, embedding, "
+            + similarity.lsh_bucket_sql("embedding", similarity.hyperplanes(64, 3, seed=5))
+            + f" as lsh_bucket from read_parquet('{_fixture('image_embed200_expected.parquet')}') "
+            "where image_id not like '%\\_dup' escape '\\' and image_id < 'img0000000020'), "
+            "c as (select image_id, embedding, "
+            + similarity.lsh_bucket_sql("embedding", similarity.hyperplanes(64, 3, seed=5))
+            + f" as lsh_bucket from read_parquet('{_fixture('caption_embed200_expected.parquet')}') "
+            "where image_id not like '%\\_dup' escape '\\'), "
+            "cand as (select a.image_id as query_id, b.image_id as negative_id, "
+            + cos
+            + " as cosine from q a join c b using (lsh_bucket) "
+            "where a.image_id <> b.image_id), "
+            "ranked as (select query_id, negative_id, "
+            "row_number() over (partition by query_id order by cosine desc, negative_id asc) as rank, "
+            "cosine from cand where cosine is not null) "
+            "select query_id, negative_id, rank, cosine from ranked where rank <= 1"
         ),
         "token_budget_select": (
             "select doc_id, lang, score, n_tokens from ("

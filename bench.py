@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "semantic_decontaminate",
     "epoch_shuffle",
     "token_budget_select",
+    "hard_negatives",
 ]
 
 

@@ -266,3 +266,57 @@ def semantic_decontaminate(
         .distinct()
     )
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    n_planes: int = 3,
+    dim: int = 64,
+    seed: int = 5,
+) -> DataFrame:
+    """Cross-tower HARD-NEGATIVE mining (contrastive-training practice:
+    for each query image, the most-similar NON-matching caption makes the
+    hardest negative in the batch). For every query row, rank the corpus
+    rows sharing its hyperplane-LSH bucket (excluding the query's own id
+    — its positive) by exact cosine and keep the top k.
+
+    Scale shape: the same bucket equi-join every ANN/near-dup operator
+    here uses — never all-pairs; candidates are bounded by bucket
+    occupancy, and the per-query rank window runs on the candidate
+    sliver keyed by query id. Zero-vector rows (NULL cosine) are
+    excluded on both engines (DuckDB 0/0 -> NULL natively; Spark guards
+    the division)."""
+    from pyspark.sql.window import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    q = with_lsh_bucket(queries.select(id_col, vec_col), vec_col, planes).select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"), "lsh_bucket"
+    )
+    c = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, planes).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"), "lsh_bucket"
+    )
+    a = F.col("_qv").cast("array<double>")
+    b = F.col("_cv").cast("array<double>")
+    denom = _norm(a) * _norm(b)
+    cos = F.when(denom != 0, F.round(_dot(a, b) / denom, 4))
+    cand = (
+        q.join(c, "lsh_bucket")
+        .where(F.col("_qid") != F.col("_cid"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("_cid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("negative_id"),
+            "rank",
+            "cosine",
+        )
+    )

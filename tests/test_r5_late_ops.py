@@ -332,3 +332,31 @@ def test_token_budget_select_matches_straight_greedy(spark):
         assert got == greedy(budget), f"budget={budget}"
         sel = pdf[pdf.doc_id.isin(got)]
         assert int(sel.n_tokens.sum()) <= budget or budget > total
+
+
+# ------------------------------------------------- hard-negative mining
+def test_hard_negatives_semantics(spark):
+    from ccnet_spark_spark.operators import similarity
+    from ccnet_spark_spark.operators.multimodal import caption_embedding, image_embedding
+    from ccnet_spark_spark.synth import generate_pairs
+
+    pairs = generate_pairs(spark, 120)
+    img = image_embedding(pairs.where(F.col("image_id") < "img0000000015"))
+    cap = caption_embedding(pairs)
+    out = similarity.hard_negatives(
+        img, cap, id_col="image_id", vec_col="embedding", k=2, n_planes=3, dim=64, seed=5
+    ).toPandas()
+    # never the positive (own caption), ranks contiguous, cosine sorted
+    assert (out.query_id != out.negative_id).all()
+    for _, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert list(g.cosine) == sorted(g.cosine, reverse=True)
+    # the plan is the bucket equi-join shape, never all-pairs
+    plan = (
+        similarity.hard_negatives(img, cap, id_col="image_id", vec_col="embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
