@@ -328,6 +328,13 @@ def epoch_shuffle(
     decorrelated permutation."""
     from pyspark.sql.window import Window
 
+    if not 1 <= shard_chars <= 64:
+        # shard_chars=0 would put EVERY row in one shard — exactly the
+        # single-task global window this operator exists to avoid
+        raise ValueError(f"shard_chars must be in 1..64, got {shard_chars}")
+    for reserved in ("_es_h", "shard", "pos"):
+        if reserved in df.columns:
+            raise ValueError(f"epoch_shuffle would clobber input column {reserved!r}")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h = F.sha2(F.concat(c.cast("string"), F.lit(f":{int(epoch)}")), 256)
     out = df.withColumn("_es_h", h).withColumn(
@@ -374,14 +381,27 @@ def token_budget_select(
          single-task window, documented tiny).
     Equals the straight greedy prefix (the DuckDB twin) because the
     total order is identical and integer costs compose exactly.
-    NULL score/cost rows are excluded (unscorable docs can't be
-    budgeted)."""
+    NULL and NaN score/cost rows are excluded (unscorable docs can't be
+    budgeted; a NaN band would break the total order differently in
+    every engine). The scored frame is localCheckpoint'd — it feeds two
+    bounded aggregations AND the output branches, and callers pass a
+    narrow (id, score, cost) projection (at 10^12 rows persist that
+    projection as a features table instead and pass the read back)."""
     from pyspark.sql.window import Window
 
+    for reserved in ("_tb_h", "_tb_sub", "_cum"):
+        if reserved in df.columns:
+            raise ValueError(f"token_budget_select would clobber input column {reserved!r}")
     c = F.col(id_col)
     base = (
-        df.where(F.col(score_col).isNotNull() & F.col(cost_col).isNotNull())
+        df.where(
+            F.col(score_col).isNotNull()
+            & F.col(cost_col).isNotNull()
+            & ~F.isnan(F.col(score_col).cast("double"))
+            & ~F.isnan(F.col(cost_col).cast("double"))
+        )
         .withColumn("_tb_h", F.sha2(c.cast("string"), 256))
+        .localCheckpoint()
     )
     bands = base.groupBy(score_col).agg(F.sum(cost_col).alias("_t")).collect()
     bands.sort(key=lambda r: r[score_col], reverse=True)
@@ -435,6 +455,8 @@ def token_budget_select_sql(
         f"order by {score_expr} desc, {h}, {id_expr} "
         f"rows between unbounded preceding and current row) as _cum "
         f"from (select * from {table}) "
-        f"where {score_expr} is not null and {cost_expr} is not null) "
+        f"where {score_expr} is not null and {cost_expr} is not null "
+        f"and not isnan(cast({score_expr} as double)) "
+        f"and not isnan(cast({cost_expr} as double))) "
         f"where _cum <= {int(budget)}"
     )

@@ -100,17 +100,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id", vec_
     qb = with_lsh_bucket(queries, vec_col, planes).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "lsh_bucket"
     )
+    a = F.col("_qv").cast("array<double>")
+    b = F.col("_cv").cast("array<double>")
+    denom = _norm(a) * _norm(b)
     scored = (
         cb.join(F.broadcast(qb), on="lsh_bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>"))
-                / (_norm(F.col("_qv").cast("array<double>")) * _norm(F.col("_cv").cast("array<double>"))),
-                4,
-            ),
-        )
+        # zero-norm guard BEFORE the division (ANSI mode raises on 0/0);
+        # NULL-cosine candidates (zero vectors) are unrankable and dropped
+        .withColumn("cosine", F.when(denom != 0, F.round(_dot(a, b) / denom, 4)))
+        .where(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -284,39 +283,16 @@ def hard_negatives(
     rows sharing its hyperplane-LSH bucket (excluding the query's own id
     — its positive) by exact cosine and keep the top k.
 
-    Scale shape: the same bucket equi-join every ANN/near-dup operator
-    here uses — never all-pairs; candidates are bounded by bucket
-    occupancy, and the per-query rank window runs on the candidate
-    sliver keyed by query id. Zero-vector rows (NULL cosine) are
-    excluded on both engines (DuckDB 0/0 -> NULL natively; Spark guards
-    the division)."""
-    from pyspark.sql.window import Window
-
-    planes = hyperplanes(dim, n_planes, seed)
-    q = with_lsh_bucket(queries.select(id_col, vec_col), vec_col, planes).select(
-        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"), "lsh_bucket"
+    Scale shape: delegates to lsh_topk — the query tower BROADCASTS into
+    the bucket equi-join (the corpus never shuffles; a plain join on an
+    8-value bucket key would funnel the whole corpus through 8 tasks),
+    exact cosine re-rank within bucket, own-id excluded. Zero-vector
+    rows (NULL cosine) are excluded on both engines (DuckDB 0/0 -> NULL
+    natively; lsh_topk guards the division)."""
+    out = lsh_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+        n_planes=n_planes, dim=dim, seed=seed,
     )
-    c = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, planes).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"), "lsh_bucket"
-    )
-    a = F.col("_qv").cast("array<double>")
-    b = F.col("_cv").cast("array<double>")
-    denom = _norm(a) * _norm(b)
-    cos = F.when(denom != 0, F.round(_dot(a, b) / denom, 4))
-    cand = (
-        q.join(c, "lsh_bucket")
-        .where(F.col("_qid") != F.col("_cid"))
-        .withColumn("cosine", cos)
-        .where(F.col("cosine").isNotNull())
-    )
-    w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("_cid").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("_qid").alias("query_id"),
-            F.col("_cid").alias("negative_id"),
-            "rank",
-            "cosine",
-        )
+    return out.select(
+        "query_id", F.col("neighbor_id").alias("negative_id"), "rank", "cosine"
     )

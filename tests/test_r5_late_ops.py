@@ -334,6 +334,16 @@ def test_token_budget_select_matches_straight_greedy(spark):
         assert int(sel.n_tokens.sum()) <= budget or budget > total
 
 
+def test_epoch_shuffle_rejects_degenerate_shards(spark):
+    from ccnet_spark_spark.operators import sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    with pytest.raises(ValueError, match="shard_chars"):
+        sample.epoch_shuffle(docs, epoch=0, shard_chars=0)
+    with pytest.raises(ValueError, match="clobber"):
+        sample.epoch_shuffle(docs.withColumn("pos", F.lit(1)), epoch=0)
+
+
 # ------------------------------------------------- hard-negative mining
 def test_hard_negatives_semantics(spark):
     from ccnet_spark_spark.operators import similarity
@@ -360,3 +370,6 @@ def test_hard_negatives_semantics(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the query tower must BROADCAST into the bucket join (a plain join on
+    # an 8-value bucket key would funnel the corpus through 8 tasks)
+    assert "BroadcastHashJoin" in plan

@@ -51,10 +51,17 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    # accept both space- and comma-separated names (a bare comma list used
-    # to silently match nothing); unknown names fail loudly instead of
-    # silently checking an empty set
-    only = [n for arg in sys.argv[1:] for n in arg.replace("--only", "").split(",") if n]
+    # accept space- and comma-separated names in both `--only a,b` and
+    # `--only=a,b` spellings (a bare comma list used to silently match
+    # nothing); unknown names fail loudly instead of silently checking an
+    # empty set
+    only = []
+    for arg in sys.argv[1:]:
+        if arg == "--only":
+            continue
+        if arg.startswith("--only="):
+            arg = arg[len("--only="):]
+        only.extend(n for n in arg.split(",") if n)
     unknown = [n for n in only if n not in qs]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}; known: {len(qs)} in queries()")
