@@ -3401,8 +3401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ANN, multimodal, sources, streaming) — a larger cross-section than
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
-    # r1-r5 driver-recorded keys covers all 137 contract queries.
-    # Entries past position 50 are verified every run by
+    # r1-r5 driver-recorded keys covers all 137 queries that existed at
+    # rotation time; the 8 queries added LATER in r5 (corrupt_quarantine,
+    # alignment_selfcal, diverse_sample, semantic_decontaminate,
+    # resume_roundtrip, epoch_shuffle, token_budget_select,
+    # hard_negatives — appended at the dict tail) are past-window until
+    # the r6 rotation. Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
         # --- never driver-recorded: priority slots ---
