@@ -2079,6 +2079,41 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_dataset_release(spark, sf_dir):
+    """THE FULL RELEASE PIPELINE in one value-checked query — the
+    end-to-end dataset constructor a FineWeb/DataComp-style release runs,
+    composed entirely from operators whose twins are individually proven:
+    (1) Gopher word gates (map-side quality predicate), (2) exact dedup
+    (min-id per normalized hash, one shuffle), (3) 8-gram benchmark
+    decontamination (broadcast eval grams; the eval slice doc_id%50=0 is
+    drawn from the corpus itself, so those exact leaks must all drop),
+    (4) token-budget selection (greedy best-first, 5,000 tokens),
+    (5) deterministic epoch-1 training-order assignment. Output is the
+    released manifest: (doc_id, lang, score, n_tokens, shard, pos). The
+    oracle is the same five-stage composition in DuckDB CTEs, each stage
+    from its unit twin builder. Stage order is the published practice:
+    gates before dedup (cheap predicate first), decon after dedup, budget
+    on the clean corpus, shuffle last."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    stats = quality_rules.gopher_word_rules(docs, min_words=40)
+    kept = docs.join(stats.where(F.col("keep")).select("doc_id"), "doc_id")
+    deduped = dedup.exact_dedup(kept, "doc_id", "text")
+    evals = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0).select("text")
+    clean = dedup.decontaminate(deduped, evals, "doc_id", "text")
+    scored = clean.select(
+        "doc_id",
+        "lang",
+        textstats.quality_score_expr("text").alias("score"),
+        textstats.token_count_expr("text").alias("n_tokens"),
+    )
+    sel = sample.token_budget_select(
+        scored, budget=5_000, score_col="score", cost_col="n_tokens"
+    )
+    return sample.epoch_shuffle(sel, epoch=1, id_col="doc_id").select(
+        "doc_id", "lang", "score", "n_tokens", "shard", "pos"
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3575,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _wrap(q_epoch_shuffle),
         "token_budget_select": _wrap(q_token_budget_select),
         "hard_negatives": _wrap(q_hard_negatives),
+        "dataset_release": _wrap(q_dataset_release),
     }
 
 
@@ -5013,6 +5049,29 @@ def oracle_sql() -> dict[str, str]:
             "where " + cos + " >= 0.3) "
             "select e.vec_id, e.label from embeddings e "
             "where e.vec_id not in (select vec_id from flagged)"
+        ),
+        "dataset_release": (
+            "with gstats as ("
+            + quality_rules.gopher_word_rules_sql("documents", "doc_id", "text", min_words=40)
+            + "), "
+            "kept as (select d.doc_id, d.lang, d.text from documents d "
+            "join gstats g using (doc_id) where g.keep), "
+            "deduped as (select doc_id, lang, text from kept "
+            f"qualify row_number() over (partition by {hashing.line_hash_sql(norm)} "
+            "order by doc_id) = 1), "
+            "evalset as (select text from documents where doc_id % 50 = 0), "
+            + dedup.decontaminate_sql("deduped", "evalset", "doc_id", "text")
+            + ", scored as (select doc_id, lang, "
+            + textstats.quality_score_sql("text")
+            + " as score, "
+            + textstats.token_count_sql("text")
+            + " as n_tokens from decontaminated), "
+            "sel as ("
+            + sample.token_budget_select_sql("scored", 5_000, "score", "n_tokens", "doc_id")
+            + ") "
+            "select doc_id, lang, score, n_tokens, shard, pos from ("
+            + sample.epoch_shuffle_sql("(select * from sel)", 1, "doc_id")
+            + ")"
         ),
         "hard_negatives": (
             "with q as (select image_id, embedding, "

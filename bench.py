@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "epoch_shuffle",
     "token_budget_select",
     "hard_negatives",
+    "dataset_release",
 ]
 
 

@@ -373,3 +373,30 @@ def test_hard_negatives_semantics(spark):
     # the query tower must BROADCAST into the bucket join (a plain join on
     # an 8-value bucket key would funnel the corpus through 8 tasks)
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- full release pipeline
+def test_dataset_release_invariants(spark):
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location("entry2", os.path.join(repo, "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sf = "/root/testdata/sf0.001"
+    out = entry.q_dataset_release(spark, sf).toPandas()
+    assert len(out) > 0
+    # budget respected
+    assert int(out.n_tokens.sum()) <= 5_000
+    # the eval slice (doc_id % 50 == 0) is drawn from the corpus, so every
+    # released doc must NOT be an exact eval leak
+    assert not (out.doc_id % 50 == 0).any()
+    # training order is complete and contiguous per shard
+    for _, g in out.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+    # released docs all pass the word gates
+    from ccnet_spark_spark.operators import quality_rules
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select("doc_id", "text")
+    gate = quality_rules.gopher_word_rules(docs, min_words=40).toPandas().set_index("doc_id")
+    assert gate.loc[out.doc_id].keep.all()
