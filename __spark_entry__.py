@@ -3437,10 +3437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
     # r1-r5 driver-recorded keys covers all 137 queries that existed at
-    # rotation time; the 8 queries added LATER in r5 (corrupt_quarantine,
+    # rotation time; the 9 queries added LATER in r5 (corrupt_quarantine,
     # alignment_selfcal, diverse_sample, semantic_decontaminate,
     # resume_roundtrip, epoch_shuffle, token_budget_select,
-    # hard_negatives — appended at the dict tail) are past-window until
+    # hard_negatives, dataset_release — the dict tail) are past-window until
     # the r6 rotation. Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
