@@ -98,12 +98,8 @@ def test_diverse_sample_quota_and_determinism(spark):
 
 # ------------------------------------------------- alignment self-calibration
 def test_alignment_selfcal_keep_rule(spark):
-    import importlib.util
+    import __spark_entry__ as entry
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location("entry", os.path.join(repo, "__spark_entry__.py"))
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
     kept = entry.q_alignment_selfcal(spark, "/root/testdata/sf0.001").toPandas()
     assert len(kept) > 0
     # every kept row clears its own language's cutoff
@@ -377,12 +373,8 @@ def test_hard_negatives_semantics(spark):
 
 # ------------------------------------------------- full release pipeline
 def test_dataset_release_invariants(spark):
-    import importlib.util
+    import __spark_entry__ as entry
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location("entry2", os.path.join(repo, "__spark_entry__.py"))
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
     sf = "/root/testdata/sf0.001"
     out = entry.q_dataset_release(spark, sf).toPandas()
     assert len(out) > 0
