@@ -2114,6 +2114,57 @@ def q_dataset_release(spark, sf_dir):
     )
 
 
+def q_pairs_release(spark, sf_dir):
+    """The IMAGE-AXIS release constructor — dataset_release's sibling on
+    the pairs table, five stages composed from individually-proven
+    operators: (1) payload QUARANTINE (32 planted corrupt rows must all
+    drop), (2) LAION metadata gates (scan predicate), (3) exact image
+    dedup by payload digest (10 planted byte-identical '_copy' rows must
+    collapse to their originals), (4) caption-image alignment keep,
+    (5) per-language quota (group_quota K=10 on stub-LID language, the
+    balancing cap). Output = the released (image_id, lang) manifest.
+    Oracle composes the quarantine-verdict fixture, the metadata fixture
+    (copy rows derive their meta from their base rows), the
+    independent-hashlib digest fixture, the two embedding-tower fixtures,
+    the stub-LID twin and group_quota's twin. The deduped frame is
+    localCheckpoint'd — it feeds the keeper aggregation, both alignment
+    towers and the LID branch (at 10^12 rows this is the persisted
+    post-dedup stage table)."""
+    from ccnet_spark_spark.operators import lid as lid_op
+    from ccnet_spark_spark.operators.image_quality import keep_expr
+    from ccnet_spark_spark.operators.multimodal import (
+        caption_image_alignment,
+        quarantine_passthrough,
+    )
+    from ccnet_spark_spark.schema import PAIRS_SCHEMA
+    from ccnet_spark_spark.synth import gen_quarantine_pairs, generate_pairs
+
+    base = generate_pairs(spark, 200)
+    corrupt = spark.createDataFrame(gen_quarantine_pairs(8), schema=PAIRS_SCHEMA).where(
+        ~F.col("image_id").startswith("img_ok_")
+    )
+    copies = base.where(F.col("image_id") < "img0000000010").withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_copy"))
+    )
+    corpus = base.unionByName(corrupt).unionByName(copies)
+    gated = quarantine_passthrough(corpus).where(keep_expr())
+    hashed = gated.withColumn("_sha", F.sha2("bytes", 256)).localCheckpoint()
+    keepers = hashed.groupBy("_sha").agg(F.min("image_id").alias("image_id"))
+    deduped = hashed.join(keepers, "image_id", "left_semi").drop("_sha")
+    al = (
+        caption_image_alignment(deduped, tau=0.1)
+        .where(F.col("aligned"))
+        .select("image_id")
+    )
+    langs = lid_op.with_lang(deduped.select("image_id", "caption"), "caption").select(
+        "image_id", "lang"
+    )
+    final = langs.join(al, "image_id")
+    return sample.group_quota(final, "lang", 10, id_col="image_id").select(
+        "image_id", "lang"
+    )
+
+
 def q_quality_chain(spark, sf_dir):
     """The composed production filter: ccnet chain verdict (min_len + line
     dedup + LID + perplexity bucket) AND Gopher word gates AND Gopher
@@ -3437,10 +3488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 kept, so a regression in any mature family still fails the
     # external gate (r4 ADVICE #3). With this rotation the union of
     # r1-r5 driver-recorded keys covers all 137 queries that existed at
-    # rotation time; the 9 queries added LATER in r5 (corrupt_quarantine,
+    # rotation time; the 10 queries added LATER in r5 (corrupt_quarantine,
     # alignment_selfcal, diverse_sample, semantic_decontaminate,
     # resume_roundtrip, epoch_shuffle, token_budget_select,
-    # hard_negatives, dataset_release — the dict tail) are past-window until
+    # hard_negatives, dataset_release, pairs_release — the dict tail) are
+    # past-window until
     # the r6 rotation. Entries past position 50 are verified every run by
     # tools/check_oracle.py (same harness) and the determinism suite.
     return {
@@ -3611,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": _wrap(q_token_budget_select),
         "hard_negatives": _wrap(q_hard_negatives),
         "dataset_release": _wrap(q_dataset_release),
+        "pairs_release": _wrap(q_pairs_release),
     }
 
 
@@ -5049,6 +5102,45 @@ def oracle_sql() -> dict[str, str]:
             "where " + cos + " >= 0.3) "
             "select e.vec_id, e.label from embeddings e "
             "where e.vec_id not in (select vec_id from flagged)"
+        ),
+        "pairs_release": (
+            # corrupt plants never enter the meta corpus; the fixture pins
+            # their not-ok verdicts (corrupt_quarantine's oracle), and the
+            # anti-join below keeps the stage honest for every id that IS
+            # in the corpus. '_copy' rows derive meta/digest from their
+            # base rows (byte-identical by construction).
+            "with bad as (select image_id from "
+            f"read_parquet('{_fixture('payload_quarantine_expected.parquet')}') where not ok), "
+            "meta as (select * from "
+            f"read_parquet('{_fixture('pairs400_meta.parquet')}') "
+            "where image_id < 'img0000000200' "
+            "union all select image_id || '_copy' as image_id, w, h, fmt, n_bytes, caption from "
+            f"read_parquet('{_fixture('pairs400_meta.parquet')}') "
+            "where image_id < 'img0000000010'), "
+            "survivors1 as (select * from meta "
+            "where image_id not in (select image_id from bad)), "
+            "gg as ("
+            + image_quality_op.image_quality_gates_sql("survivors1")
+            + "), "
+            "gated as (select s.* from survivors1 s join gg using (image_id) where gg.keep), "
+            "shas as (select g.image_id, g.caption, p.payload_sha from gated g join "
+            f"read_parquet('{_fixture('pairs300_payload_sha.parquet')}') p "
+            "on replace(g.image_id, '_copy', '') = p.image_id), "
+            "deduped as (select image_id, caption from shas "
+            "qualify row_number() over (partition by payload_sha order by image_id) = 1), "
+            "alk as (select a.image_id from "
+            f"read_parquet('{_fixture('image_embed200_expected.parquet')}') a "
+            f"join read_parquet('{_fixture('caption_embed200_expected.parquet')}') b "
+            "using (image_id) where a.image_id not like '%\\_dup' escape '\\' "
+            "and coalesce(" + cos + " >= 0.1, false)), "
+            "lidq as (select image_id, lang from ("
+            + models_mod.stub_lid_sql("deduped", "caption", ["image_id"])
+            + ")), "
+            "final as (select l.image_id, l.lang from lidq l join deduped using (image_id) "
+            "join alk using (image_id)) "
+            "select image_id, lang from ("
+            + sample.group_quota_sql("final", "lang", 10, "image_id")
+            + ")"
         ),
         "dataset_release": (
             "with gstats as ("

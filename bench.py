@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "token_budget_select",
     "hard_negatives",
     "dataset_release",
+    "pairs_release",
 ]
 
 

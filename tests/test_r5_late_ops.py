@@ -392,3 +392,15 @@ def test_dataset_release_invariants(spark):
     docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select("doc_id", "text")
     gate = quality_rules.gopher_word_rules(docs, min_words=40).toPandas().set_index("doc_id")
     assert gate.loc[out.doc_id].keep.all()
+
+
+def test_pairs_release_invariants(spark):
+    import __spark_entry__ as entry
+
+    out = entry.q_pairs_release(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    # corrupt plants and byte-copy plants never reach the manifest
+    assert not out.image_id.str.startswith(("img_bad_", "img_dims_")).any()
+    assert not out.image_id.str.endswith("_copy").any()
+    # the per-language cap holds (null lang is its own group)
+    assert out.groupby(out.lang.fillna("__null__")).size().max() <= 10
