@@ -137,8 +137,27 @@ def _ensure_pkg(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def _read_split(spark: SparkSession, path: str) -> DataFrame:
+    """Read a fixture parquet and, when the scan yields fewer splits than
+    the session has cores, spread it. The testdata tables are single-file
+    single-row-group parquets — an unsplittable scan that caps EVERY
+    downstream map stage (shingling, hashing, Arrow crossings) at ONE task
+    regardless of parallelism (guide §2.5 'input skew: one huge
+    unsplittable file — repartition immediately after the read'; measured:
+    the jaccard map stage ran 1 of 32 cores). Conditional, so a properly
+    split production table keeps its native partitioning and pays no
+    shuffle. Round-robin repartition is deterministic (sort-before-
+    repartition) and every contract query is content-defined, so results
+    are partitioning-invariant — which the DuckDB oracle re-verifies."""
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _read_split(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def _stream_dirs(name: str) -> tuple[str, str, str]:
@@ -366,11 +385,12 @@ def q_lang_filter(spark, sf_dir):
 
 
 def q_pp_bucket(spark, sf_dir):
-    # M2+M3+P6/J2: tokenize (pandas UDF) -> perplexity (pandas UDF) ->
-    # broadcast-join bucket. The oracle recomputes the full stub math.
+    # M2+M3+P6/J2: fused tokenize+perplexity (ONE Arrow crossing — the
+    # tokenized string is an intermediate and never needs to cross back
+    # and forth, perplexity.make_tok_pp_udf) -> broadcast-join bucket.
+    # The oracle recomputes the full stub math.
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    t = tokenize.with_tokenized(docs, "text")
-    p = perplexity.with_perplexity(t, "tokenized")
+    p = perplexity.with_tokenized_and_perplexity(docs, "text")
     out = bucket_op.with_bucket(p, bucket_op.load_cutoffs(spark, cutoffs=_cutoffs()))
     return out.select(
         "doc_id", "lang", F.round(F.col("perplexity").cast("double"), 1).alias("pp"), "bucket"
@@ -1436,9 +1456,14 @@ def q_selfcal_bucket(spark, sf_dir):
     Proves the trainer's artifact is consumable by the bucketing operator
     (shape parity with fixtures/cutoffs.csv), end-to-end oracle-checked."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    t = tokenize.with_tokenized(docs, "text")
-    p = perplexity.with_perplexity(t, "tokenized")
+    p = perplexity.with_tokenized_and_perplexity(docs, "text")
     p = p.withColumn("pp", F.round(F.col("perplexity").cast("double"), 1))
+    # p feeds BOTH the percentile trainer and the final bucket join, and
+    # train_cutoff_matrix's not-null filter on the UDF output additionally
+    # duplicates the Python stage below the pushed filter (guide §4.4) —
+    # plan-audited 6 ArrowEvalPython for one logical pass. Materialize the
+    # narrow scored frame once: 1 Arrow crossing total.
+    p = p.select("doc_id", "lang", "pp").localCheckpoint()
     matrix = bucket_op.train_cutoff_matrix(p, pp_col="pp", lang_col="lang")
     cut = matrix.groupBy("lang").agg(
         F.max(F.when(F.col("pct") == 30, F.col("cutoff"))).alias("pp_head"),
@@ -1593,8 +1618,11 @@ def _probe_train_weights(spark, sf_dir):
     from ccnet_spark_spark.operators import probe
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull() & F.col("lang").isNotNull())
-    t = tokenize.with_tokenized(docs.select("doc_id", "lang", "text"), "text")
-    p = perplexity.with_perplexity(t, "tokenized")
+    # fused tokenize+perplexity: one Arrow crossing (the tokenized string
+    # is an intermediate the label never needs back separately)
+    p = perplexity.with_tokenized_and_perplexity(
+        docs.select("doc_id", "lang", "text"), "text"
+    )
     head = _probe_head_expr()
     labeled = p.select(
         "doc_id",
@@ -2159,7 +2187,13 @@ def q_pairs_release(spark, sf_dir):
     langs = lid_op.with_lang(deduped.select("image_id", "caption"), "caption").select(
         "image_id", "lang"
     )
-    final = langs.join(al, "image_id")
+    # group_quota consumes its input on TWO plan branches (the narrow
+    # cutoff window + the keep join) — without materializing this tiny
+    # (image_id, lang) manifest first, the ENTIRE upstream subtree (LID
+    # UDF, both embedding towers, the digest dedup aggregation) plans and
+    # executes twice (plan-audited: 6 Python stages -> 3, 18 exchanges ->
+    # 9). At 10^12 scale this frame is the persisted pre-quota manifest.
+    final = langs.join(al, "image_id").localCheckpoint()
     return sample.group_quota(final, "lang", 10, id_col="image_id").select(
         "image_id", "lang"
     )
@@ -2200,9 +2234,13 @@ def q_cutoff_train(spark, sf_dir):
     float32, and percentiles interpolate — float32 representation error
     (22.3f = 22.29999923...) would otherwise leak into the 4dp cutoffs."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    t = tokenize.with_tokenized(docs, "text")
-    p = perplexity.with_perplexity(t, "tokenized")
+    p = perplexity.with_tokenized_and_perplexity(docs, "text")
     p = p.withColumn("pp", F.round(F.col("perplexity").cast("double"), 1))
+    # fused UDF = ONE Arrow crossing, and the narrow (lang, pp) frame is
+    # materialized so train_cutoff_matrix's not-null filter on the UDF
+    # output can't duplicate the Python stage below the pushed filter
+    # (guide §4.4 — plan-audited 4 ArrowEvalPython -> 1 for this query)
+    p = p.select("lang", "pp").localCheckpoint()
     return bucket_op.train_cutoff_matrix(p, pp_col="pp", lang_col="lang")
 
 

@@ -207,6 +207,16 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str, num_bands: int = 4, row
     else:
         first = F.element_at(F.col("signature"), 1).cast("string")
         real = sigs.where(~first.isin(hashing.SENTINEL_SHA2, str(hashing.SENTINEL_XXHASH)))
+    # materialize the narrow (id, signature) frame ONCE before the band
+    # self-join: both join sides derive from it, and without this the
+    # whole signature pipeline (shingle explode + one sha2/xxhash per
+    # shingle + the min aggregation) plans and EXECUTES twice — the map
+    # side's dominant cost paid double (plan-audited: 2 SortAggregate
+    # signature subtrees -> 1). At 10^12 rows this is the persisted
+    # signature table every production MinHash pipeline writes anyway
+    # (~80 B/doc), the same discipline as corpus_build's survivor
+    # snapshot.
+    real = real.select(id_col, "signature").localCheckpoint()
     banded = real.select(
         id_col, F.explode(hashing.band_keys_expr(F.col("signature"), num_bands, rows_per_band)).alias("band_key")
     )
@@ -428,11 +438,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: in
     with_toks = df.select(
         F.col(id_col), F.split(normalize_for_dedup_expr(F.col(text_col)), "\\s+").alias("_toks")
     )
-    sh = with_toks.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(hashing.word_shingles_expr(F.col("_toks"), n=shingle_n))).alias("shingle"),
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # the distinct-set SIZE rides ALONG the exploded rows (computed in the
+    # same projection as the explode) instead of being re-derived by a
+    # separate explode+groupBy joined back per side — the old form ran the
+    # shingle explode FOUR times (self-join a/b + sizes joined to a and b)
+    # and paid two extra joins; this runs it twice (the self-join's two
+    # sides, the irreducible minimum) and the count rides as one int per
+    # row. n_a/n_b are constant per id, so folding them into the grouping
+    # key changes nothing.
+    arr = F.array_distinct(hashing.word_shingles_expr(F.col("_toks"), n=shingle_n))
+    sh = with_toks.select(F.col(id_col), F.explode(arr).alias("shingle"))
+    # set sizes computed DIRECTLY per doc (size(array_distinct(...)) in one
+    # map pass) instead of the old explode + groupBy(id).count() — same
+    # value by definition, but removes a full second shingle explode AND
+    # its id-keyed shuffle; the tiny (id, n) frame joins onto the
+    # aggregated pair frame below. (Deliberately NOT folded into the
+    # exploded rows: carrying the size through the self-join creates an
+    # alias chain that constraint inference pushes into the scan as an
+    # O(tokens^2) re-inlined filter — measured 3 s -> 90 s.)
+    sizes = with_toks.select(F.col(id_col), F.size(arr).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, on="shingle")
@@ -442,11 +466,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: in
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    shared = shared.join(sa, "id_a").join(sb, "id_b")
+    # the threshold filter is deliberately NULL-TOLERANT (coalesce): a
+    # null-rejecting `jaccard >= t` lets InferFiltersFromConstraints derive
+    # isnotnull(n_a/n_b), which predicate pushdown substitutes through the
+    # _n alias all the way into the SCAN as
+    # isnotnull(size(array_distinct(transform(..split(..)..)))) — with the
+    # split() re-inlined into every lambda element, an O(tokens^2)-per-doc
+    # filter (measured 3 s -> 90 s on sf0.1). jaccard is never null for
+    # emitted rows (pairs share >= 1 shingle so the denominator >= 1), so
+    # coalesce(., 0.0) changes nothing about the result.
+    jac = F.round(F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4)
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.round(F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4))
-        .where(F.col("jaccard") >= threshold)
+        shared.withColumn("jaccard", jac)
+        .where(F.coalesce(F.col("jaccard"), F.lit(0.0)) >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 

@@ -72,7 +72,12 @@ def train_nb_lid(
     passes the contract's no-cartesian plan guard."""
     labeled = df.where(F.col(lang_col).isNotNull() & F.col(text_col).isNotNull())
     events = _gram_events(labeled, text_col, [lang_col], n).withColumnRenamed(lang_col, "lang")
-    counts = events.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # counts is |langs| x |observed grams| — model-sized by construction
+    # (same eager-trainer discipline as bpe.py). It feeds FOUR consumers
+    # (the vocab-size count below, totals, and grams' join of both);
+    # without materialization each consumer replays the corpus explode +
+    # aggregation — plan-audited: the full gram scan ran 4x per train call.
+    counts = events.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     v = counts.select("gram").distinct().count()
     n_total = labeled.count()
     totals = counts.groupBy("lang").agg(F.sum("c").alias("n_events"))

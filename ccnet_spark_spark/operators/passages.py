@@ -54,13 +54,19 @@ def duplicate_passage_spans(
             F.posexplode(word_shingles_expr(F.col("_toks"), n=gram_n)).alias("_pos", "_gram"),
         )
     )
-    dup_grams = (
-        grams.groupBy("_gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+    # ONE pass, ONE gram-keyed shuffle: count(*) over (partition by gram)
+    # >= min_occurrences. The previous aggregate -> semi-join-back form
+    # explodes the corpus TWICE and pays a second gram-keyed exchange (or
+    # an unbounded broadcast of the duplicated-gram set — at 100 TB that
+    # set is corpus-sized for boilerplate-heavy crawls, so the broadcast
+    # form does not scale). Same window-over-join win as dedup_nokeep
+    # (operators/dedup.py); exact string equality on the gram, no hashing.
+    w_g = Window.partitionBy("_gram")
+    dup_pos = (
+        grams.withColumn("_cnt", F.count(F.lit(1)).over(w_g))
         .where(F.col("_cnt") >= min_occurrences)
-        .select("_gram")
+        .select(id_col, "_pos")
     )
-    dup_pos = grams.join(dup_grams, "_gram", "left_semi").select(id_col, "_pos")
     # gaps-and-islands: each dup gram covers [pos, pos+n-1]; merge intervals
     # that overlap or touch. prev_max_end tracks the furthest coverage of
     # earlier positions; a new island starts when this gram begins past it.

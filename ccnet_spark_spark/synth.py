@@ -155,9 +155,18 @@ def gen_pandas(start: int, end: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
 
 def generate_pairs(spark, n_rows: int, seed: int = DEFAULT_SEED, partitions: int | None = None):
     """Distributed generation: spark.range drives ids; each task builds its
-    slice independently (no shuffle, no driver materialization)."""
+    slice independently (no shuffle, no driver materialization).
+
+    Default partition count is scale-adaptive, not a constant: one task per
+    ~64 rows, capped at the session's parallelism. A fixed fan-out of
+    defaultParallelism made every tiny generated corpus (the 200-row
+    contract inputs) pay 32+ near-empty Python-dispatch tasks PER Arrow
+    stage downstream — pure per-task overhead (guide §2.2/§6: fewer,
+    larger tasks when the data is small); large generations still use the
+    full parallelism."""
     if partitions is None:
-        partitions = max(spark.sparkContext.defaultParallelism, 8)
+        par = max(spark.sparkContext.defaultParallelism, 8)
+        partitions = max(1, min(par, (n_rows + 63) // 64))
 
     def gen(batches):
         for pdf in batches:
