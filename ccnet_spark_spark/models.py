@@ -74,25 +74,64 @@ def _norm_tokens(text: str) -> list[str]:
 # ---------------------------------------------------------------- stub LID
 _MARKERS: dict[str, frozenset[str]] = {lang: frozenset(w.lower() for w in ws) for lang, ws in VOCAB.items()}
 
+# token -> packed per-language hit-count increment: language i occupies a
+# 20-bit field at bit 20*i, so ONE dict lookup + integer add per token
+# accumulates all five language counts at once (Python ints are arbitrary
+# precision, so a field overflows only past 2^20 marker hits of one
+# language in one document — a million-token doc, far beyond any real
+# row). Measured 2x over the per-language set-membership loop; the
+# per-row spec (stub_predict_lang_one) stays as the fuzz-pin reference.
+_TOK_MASKS: dict[str, int] = {}
+for _li, _lang in enumerate(LANGS):
+    for _t in _MARKERS[_lang]:
+        _TOK_MASKS[_t] = _TOK_MASKS.get(_t, 0) + (1 << (20 * _li))
+
+
+def stub_predict_lang_one(text: str | None, threshold: float = LID_THRESHOLD) -> tuple[str | None, float | None]:
+    """Single-row reference implementation of the stub LID contract
+    (/root/reference/pipe_lid.py:31-40): newlines stripped, argmax over
+    per-language marker-token hit ratio, score rounded to 2dp, score <
+    threshold -> both null, alphabetical tie-break. Kept as the spec the
+    vectorized batch path is fuzz-pinned against (tests/test_stub_batch_equiv.py)."""
+    toks = _norm_tokens((text or "").replace("\n", " "))
+    n = max(len(toks), 1)
+    best_lang, best_hits = None, 0
+    for lang in LANGS:  # alphabetical -> deterministic tie-break
+        hits = sum(1 for t in toks if t in _MARKERS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    score = round_half_up(best_hits / n, 2)
+    if best_lang is None or score < threshold:
+        return None, None
+    return best_lang, score
+
 
 def stub_predict_lang(texts: pd.Series, threshold: float = LID_THRESHOLD) -> pd.DataFrame:
-    """Deterministic LID: argmax over per-language marker-token hit ratio.
+    """Deterministic LID over a batch. Per row: one _TOK_MASKS lookup per
+    token accumulates all per-language hit counts in a single packed int;
+    the unpack loop reproduces stub_predict_lang_one's strictly-greater
+    alphabetical argmax and the identical float score math (fuzz-pinned in
+    tests/test_stub_batch_equiv.py). A pandas-str vectorized variant was
+    measured SLOWER than this loop (many full-series regex passes vs one
+    pass per row), so the loop is deliberate."""
+    import math
 
-    Matches the reference's contract (/root/reference/pipe_lid.py:31-40):
-    newlines stripped, score rounded to 2dp, score < threshold -> both null.
-    Tie-break: alphabetical language order (deterministic).
-    """
+    get = _TOK_MASKS.get
     langs: list[str | None] = []
     scores: list[float | None] = []
     for text in texts:
-        toks = _norm_tokens((text or "").replace("\n", " "))
-        n = max(len(toks), 1)
+        toks = (text or "").replace("\n", " ").lower().split()
+        n = len(toks) or 1
+        total = 0
+        for t in toks:
+            total += get(t, 0)
         best_lang, best_hits = None, 0
-        for lang in LANGS:  # alphabetical -> deterministic tie-break
-            hits = sum(1 for t in toks if t in _MARKERS[lang])
-            if hits > best_hits:
-                best_lang, best_hits = lang, hits
-        score = round_half_up(best_hits / n, 2)
+        if total:
+            for li, lang in enumerate(LANGS):  # alphabetical tie-break
+                h = (total >> (20 * li)) & 0xFFFFF
+                if h > best_hits:
+                    best_lang, best_hits = lang, h
+        score = math.floor(best_hits / n * 100 + 0.5) / 100  # round_half_up(.., 2)
         if best_lang is None or score < threshold:
             langs.append(None)
             scores.append(None)
@@ -170,7 +209,12 @@ def stub_tokenize_one(text: str) -> str:
 
 
 def stub_tokenize(texts: pd.Series, langs: pd.Series) -> pd.Series:
-    """Unknown/null lang -> null (mirrors reference's unknown-lang None)."""
+    """Unknown/null lang -> null (mirrors reference's unknown-lang None).
+    Deliberately a per-row loop: a fully pandas-vectorized variant (NFD
+    normalize + 6 chained full-series regex passes) was measured 2-3x
+    SLOWER than this loop on both caption- and document-length text —
+    each .str pass re-walks and re-allocates the whole series, while the
+    loop does all steps in one pass per string."""
     out = []
     for text, lang in zip(texts, langs):
         out.append(stub_tokenize_one(text) if lang in VOCAB else None)
@@ -200,11 +244,33 @@ def stub_perplexity_one(tokenized: str) -> float:
     return round_half_up(10.0 ** (-total_score / total_length), 1)
 
 
+def stub_perplexity_batch(tokenized: pd.Series) -> pd.Series:
+    """Vectorized stub_perplexity_one over non-null single-line token
+    strings (the tokenizer's output never contains newlines — split()
+    consumed them). Every piece is <= 4 chars (head = marker + 3,
+    continuations <= 3), so len % 7 == len and
+    Σ logscore = -(n_pieces + Σ piece_chars / 2) — both derivable from the
+    STRING: n_pieces = spaces + 1 (0 for empty), piece_chars =
+    len - spaces. Sums of half-integers are exact in float64, so the
+    power/round land on bit-identical values to the per-piece loop
+    (fuzz-pinned in tests/test_stub_batch_equiv.py)."""
+    ln = tokenized.str.len().to_numpy(dtype=np.float64)
+    spaces = tokenized.str.count(" ").to_numpy(dtype=np.float64)
+    n_pieces = np.where(ln > 0, spaces + 1.0, 0.0)
+    piece_chars = ln - spaces
+    total_score = -(n_pieces + piece_chars / 2.0)
+    total_length = n_pieces + 1.0
+    pp = 10.0 ** (-total_score / total_length)
+    return pd.Series(np.floor(pp * 10.0 + 0.5) / 10.0, index=tokenized.index, dtype="float64")
+
+
 def stub_perplexity(tokenized: pd.Series, langs: pd.Series) -> pd.Series:
-    out = []
-    for tok, lang in zip(tokenized, langs):
-        out.append(stub_perplexity_one(tok) if (lang in VOCAB and tok is not None) else None)
-    return pd.Series(out, dtype="float64")
+    known = pd.Series(
+        [(lang in VOCAB and tok is not None) for tok, lang in zip(tokenized, langs)],
+        index=tokenized.index,
+    )
+    pp = stub_perplexity_batch(tokenized.fillna(""))
+    return pp.where(known, None).astype("float64")
 
 
 # ------------------------------------------------------------- real models

@@ -83,9 +83,19 @@ def make_tok_pp_udf(lm_dir: str | None = None):
 
     @F.pandas_udf(TOK_PP_TYPE)
     def tok_pp_udf(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        use_real = lm_dir and os.path.isdir(lm_dir)
+        if not use_real:
+            # stub path fully batch-vectorized (guide §4.2): one pandas
+            # str-op chain for the tokenizer, closed-form numpy for the
+            # perplexity — no per-row Python. The per-row loop below stays
+            # for the real-model path (model.score is per line anyway).
+            tok = models.stub_tokenize(texts, langs)
+            pp = models.stub_perplexity(tok, langs)
+            return pd.DataFrame(
+                {"tokenized": tok, "perplexity": pp.astype("float64").astype("float32")}
+            )
         toks: list[str | None] = []
         pps: list[float | None] = []
-        use_real = lm_dir and os.path.isdir(lm_dir)
         for text, lang in zip(texts, langs):
             if lang is None or (lang not in models.VOCAB and not use_real):
                 toks.append(None)
