@@ -43,38 +43,49 @@ def connected_components(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.localCheckpoint()
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    changed = 1
+    # init = the result of one propagation round from the identity
+    # labeling, computed as ONE aggregation (least(u, min(v)) per u) with
+    # no join — a full round's work for the price of the node-distinct the
+    # old identity init paid anyway (sym is symmetric, so every node
+    # appears as u).
+    labels = sym.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.col("u"), F.min("v")).alias("lbl")
+    )
     prev_ckpt: DataFrame | None = None
+    converged = False
     for _ in range(max_iterations):
+        # hash-to-min round, 3 exchanges total: propagate each node's
+        # label to its neighbors through ONE join, union the node's own
+        # label (flagged, so the SAME aggregation also returns the
+        # pre-round label for the convergence probe — no per-round
+        # labels-vs-new join), take the min per node. The old form paid
+        # two labels joins plus the neighbor aggregation per round.
         neigh = (
             sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nlbl"))
+            .select(F.col("u").alias("node"), "lbl", F.lit(False).alias("_own"))
         )
-        # carry the pre-update label through the checkpoint so the
-        # convergence probe is a scan of the checkpointed frame, not a
-        # second node-keyed join per round
-        new = (
-            labels.join(neigh, labels.node == neigh.u, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-                F.col("lbl").alias("_prev"),
+        own = labels.select("node", "lbl", F.lit(True).alias("_own"))
+        propagated = (
+            neigh.unionByName(own)
+            .groupBy("node")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.max(F.when(F.col("_own"), F.col("lbl"))).alias("_prev"),
             )
             .localCheckpoint()
         )
-        # `new` is materialized (eager localCheckpoint): release the prior
-        # round's label blocks so storage holds one label copy, not one
-        # per round (same cleanup as the BPE trainer)
+        # `propagated` is materialized (eager localCheckpoint): release the
+        # prior round's label blocks so storage holds one label copy, not
+        # one per round (same cleanup as the BPE trainer)
         if prev_ckpt is not None:
             release_local_checkpoint(prev_ckpt)
-        prev_ckpt = new
-        changed = new.where(F.col("lbl") != F.col("_prev")).limit(1).count()
-        labels = new.select("node", "lbl")
+        prev_ckpt = propagated
+        changed = propagated.where(F.col("lbl") != F.col("_prev")).limit(1).count()
+        labels = propagated.select("node", "lbl")
         if changed == 0:
+            converged = True
             break
-    if changed != 0:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             "iterations (component diameter exceeds the cap); raise "
