@@ -273,7 +273,13 @@ def simhash_neardup_pairs(
     passes tighten recall. The caller controls normalization via text_col
     (pass a pre-normalized column for dedup-grade matching)."""
     simhash_udf = hashing.make_simhash_udf()
-    hashed = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    # materialize the narrow (id, simhash) frame ONCE: the bucket
+    # self-join consumes it on both sides (and per rotation pass), and
+    # constraint inference additionally double-evaluates a filtered UDF
+    # column (guide §4.4) — plan-audited 12 ArrowEvalPython subtrees for
+    # one logical UDF pass over a 3-branch union corpus. At scale this is
+    # the persisted fingerprint table, same as the MinHash signatures.
+    hashed = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")).localCheckpoint()
     return hash64_neardup_pairs(hashed, id_col, "simhash", prefix_bits, max_hamming)
 
 
