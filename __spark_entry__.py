@@ -151,13 +151,42 @@ def _read_split(spark: SparkSession, path: str) -> DataFrame:
     are partitioning-invariant — which the DuckDB oracle re-verifies."""
     df = spark.read.parquet(path)
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    # static split estimate from the file listing (parquet can split a
+    # file only at row-group boundaries, and the fixtures are written as
+    # one file / one row group) — deliberately NOT df.rdd.getNumPartitions(),
+    # which materializes the physical plan per call and costs ~0.2 s of
+    # driver time in every query that touches a fixture table
+    if _parquet_file_count(path) < par:
         df = df.repartition(par)
     return df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read_split(spark, os.path.join(sf_dir, "documents.parquet"))
+_FILE_COUNT_CACHE: dict[str, int] = {}
+
+
+def _parquet_file_count(path: str) -> int:
+    if path not in _FILE_COUNT_CACHE:
+        try:
+            names = [n for n in os.listdir(path)] if os.path.isdir(path) else [path]
+        except OSError:
+            names = [path]
+        _FILE_COUNT_CACHE[path] = max(
+            1, sum(1 for n in names if n.endswith(".parquet") or "part-" in n)
+        )
+    return _FILE_COUNT_CACHE[path]
+
+
+def _docs(spark: SparkSession, sf_dir: str, split: bool = False) -> DataFrame:
+    """split=True spreads the single-row-group fixture scan across the
+    session's cores (_read_split) — opted into ONLY by the queries whose
+    scan-side map work is heavy (shingling, per-shingle hashing, line
+    explode+hash): for those the unsplittable scan serializes the
+    dominant stage on one core (measured ~2x query time), while for
+    cheap scans the extra exchange is pure overhead (measured +0.2-0.4 s
+    per query). Production tables arrive properly split; this seam only
+    exists because the fixtures are one-row-group files."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    return _read_split(spark, path) if split else spark.read.parquet(path)
 
 
 def _stream_dirs(name: str) -> tuple[str, str, str]:
@@ -316,7 +345,7 @@ def q_line_hash(spark, sf_dir):
 
 def q_dedup_keep(spark, sf_dir):
     # H5 (deterministic min-owner variant)
-    return dedup.dedup_keep(_hashed_lines(_docs(spark, sf_dir)), id_col="doc_id")
+    return dedup.dedup_keep(_hashed_lines(_docs(spark, sf_dir, split=True)), id_col="doc_id")
 
 
 def _shingle_lines(docs: DataFrame) -> DataFrame:
@@ -338,7 +367,7 @@ def q_dedup_keep_xxhash(spark, sf_dir):
     hash-algorithm-invariant absent collisions, so the sha2-based DuckDB
     twin (same SQL as dedup_keep) oracle-checks the xxhash64 plan
     end-to-end instead of only self-consistency."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     lines = _word_lines(docs).withColumn(
         "hash_value",
         hashing.line_hash_expr(normalize_for_dedup_expr(F.col("line")), algo="xxhash64"),
@@ -348,14 +377,14 @@ def q_dedup_keep_xxhash(spark, sf_dir):
 
 def q_dedup_nokeep(spark, sf_dir):
     # H6: drop all copies of repeated lines
-    return dedup.dedup_nokeep(_shingle_lines(_docs(spark, sf_dir))).select(
+    return dedup.dedup_nokeep(_shingle_lines(_docs(spark, sf_dir, split=True))).select(
         "doc_id", "line_id", "line"
     )
 
 
 def q_regroup(spark, sf_dir):
     # H7: reassemble surviving lines into docs
-    survivors = dedup.dedup_keep(_hashed_lines(_docs(spark, sf_dir)), id_col="doc_id")
+    survivors = dedup.dedup_keep(_hashed_lines(_docs(spark, sf_dir, split=True)), id_col="doc_id")
     return dedup.regroup(survivors, id_col="doc_id").select(
         "doc_id", "dedup_caption", "nlines", "length"
     )
@@ -363,7 +392,7 @@ def q_regroup(spark, sf_dir):
 
 def q_dedup_within_doc(spark, sf_dir):
     # document-scope dedup_keep + regroup: most docs survive with most words
-    survivors = dedup.dedup_keep(_hashed_lines(_docs(spark, sf_dir)), id_col="doc_id", scope="document")
+    survivors = dedup.dedup_keep(_hashed_lines(_docs(spark, sf_dir, split=True)), id_col="doc_id", scope="document")
     return dedup.regroup(survivors, id_col="doc_id").select(
         "doc_id", "dedup_caption", "nlines", "length"
     )
@@ -372,7 +401,7 @@ def q_dedup_within_doc(spark, sf_dir):
 def q_dup_counts(spark, sf_dir):
     # A2: duplicate counting
     return (
-        _hashed_lines(_docs(spark, sf_dir))
+        _hashed_lines(_docs(spark, sf_dir, split=True))
         .groupBy("hash_value")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") > 1)
@@ -485,7 +514,7 @@ def q_scrub(spark, sf_dir):
 def q_minhash_bands(spark, sf_dir):
     # MinHash signature -> LSH band keys (exploded); shingle-less docs never
     # band — same explicit has_shingles filter as minhash_lsh_candidates
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
     real = sigs.where(F.col("has_shingles"))
     return real.select(
@@ -495,7 +524,7 @@ def q_minhash_bands(spark, sf_dir):
 
 def q_minhash_pairs(spark, sf_dir):
     # LSH candidate near-dup pairs
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
     return dedup.minhash_lsh_candidates(sigs, "doc_id", num_bands=4, rows_per_band=2)
 
@@ -504,7 +533,7 @@ def q_minhash_dedup(spark, sf_dir):
     # the LSH dedup itself (not just the candidate pairs): any doc sharing a
     # band with a smaller-id doc is dropped; survivors returned
     return dedup.minhash_lsh_dedup(
-        _docs(spark, sf_dir), "doc_id", "text", num_hashes=8, num_bands=4, shingle_n=3
+        _docs(spark, sf_dir, split=True), "doc_id", "text", num_hashes=8, num_bands=4, shingle_n=3
     ).select("doc_id", "lang")
 
 
@@ -517,7 +546,7 @@ def q_dup_clusters(spark, sf_dir):
     fully independent algorithm."""
     from ccnet_spark_spark.operators.graph import dup_clusters
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
     cand = dedup.minhash_lsh_candidates(sigs, "doc_id", num_bands=4, rows_per_band=2)
     return dup_clusters(docs, cand, "doc_id")
@@ -532,7 +561,7 @@ def q_cluster_canonical(spark, sf_dir):
     clusters with its independent recursive CTE and selects via a window."""
     from ccnet_spark_spark.operators.graph import dup_clusters
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
     cand = dedup.minhash_lsh_candidates(sigs, "doc_id", num_bands=4, rows_per_band=2)
     labeled = dup_clusters(docs, cand, "doc_id").join(
@@ -548,14 +577,14 @@ def q_jaccard_pairs(spark, sf_dir):
     # exact n-gram Jaccard similar pairs — EXACTNESS BASELINE ONLY (raw
     # shared-shingle self-join, quadratic within shingle buckets); the
     # contract-visible scale shape is q_lsh_then_jaccard
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir, split=True), "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
 def q_lsh_then_jaccard(spark, sf_dir):
     # the 100 TB near-dup shape: LSH banding -> exact Jaccard verify on the
     # banded candidates only (never all pairs)
     return dedup.lsh_then_jaccard(
-        _docs(spark, sf_dir), "doc_id", "text", num_hashes=8, num_bands=4, shingle_n=3, threshold=0.5
+        _docs(spark, sf_dir, split=True), "doc_id", "text", num_hashes=8, num_bands=4, shingle_n=3, threshold=0.5
     )
 
 
@@ -570,7 +599,7 @@ def q_lsh_jaccard_xxhash(spark, sf_dir):
     The documents table has no exact-shingle-set duplicate pairs, so the
     query plants 20 (doc_id + 100000 copies) — the fast path must find
     exactly those pairs, not merely agree on an empty set."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
     dupes = docs.where(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -641,7 +670,11 @@ def q_events_window_stream(spark, sf_dir):
     )
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     src, sink, ckpt = _stream_dirs("events_window_stream")
-    ev.write.mode("append").parquet(src)
+    # ONE source file: with maxFilesPerTrigger=1 every real event must be
+    # in the first micro-batch, before the sentinel advances the
+    # watermark — a multi-file source spreads events across later batches
+    # whose windows the advanced watermark silently drops
+    ev.coalesce(1).write.mode("append").parquet(src)
     import datetime as dt
 
     before = set(os.listdir(src))
@@ -1294,7 +1327,7 @@ def _passage_corpus(spark, sf_dir):
     token, then the same 12 tokens again — so every franken-doc shares an
     8-gram passage with its source doc (cross-doc) AND with its own second
     half (within-doc), exercising both duplication directions."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
     head12 = F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 12), " ")
     planted = docs.where(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 400000).alias("doc_id"),
@@ -1828,7 +1861,7 @@ def q_fuzzy_decontaminate(spark, sf_dir):
     (must drop nothing). Candidates come from a broadcast band-key join
     (eval suites are benchmark-sized); the corpus never self-joins.
     Output = surviving doc ids."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
     ev_exact = docs.where(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 500000).alias("eval_id"), "text"
     )
