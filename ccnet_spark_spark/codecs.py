@@ -25,6 +25,16 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6 %d %d 255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+# canonical single-space header ("P6 w h 255\n" / "QJ w h step\n") — the
+# overwhelmingly common case; matching it skips the byte-by-byte grammar
+# walk below (measured ~20 us/payload). The general loop stays the spec
+# for comment-carrying / multi-whitespace headers and produces identical
+# results for canonical ones (same tokens, same offset, zero comments).
+import re as _re
+
+_CANONICAL_HEADER = _re.compile(rb"\A(\S+) (\d+) (\d+) (\d+)\n")
+
+
 def parse_header(data: bytes) -> tuple[list[bytes], int, int]:
     """Tokenize a Netpbm-style ASCII header (magic + three ints) honoring
     the spec's `#` comments: a `#` anywhere between tokens starts a comment
@@ -33,6 +43,9 @@ def parse_header(data: bytes) -> tuple[list[bytes], int, int]:
     Real-world PPM carries tool/EXIF-ish comments here (`# Created by
     GIMP`, `# GPS ...`) — the image-side PII surface strip_metadata()
     scrubs; qjpg's `QJ w h step` header follows the same token grammar."""
+    m = _CANONICAL_HEADER.match(data)
+    if m and b"#" not in m.group(1):
+        return [m.group(1), m.group(2), m.group(3), m.group(4)], m.end(), 0
     toks: list[bytes] = []
     i, n_comments = 0, 0
     while len(toks) < 4:

@@ -293,15 +293,44 @@ def caption_embedding(df: DataFrame, dim: int = 64, text_col: str = "caption") -
     return df.select("image_id", text_col).mapInPandas(op, schema=EMBED_SCHEMA)
 
 
+# per-worker token -> 64-bit digest memo: natural text re-uses vocabulary
+# heavily (and the caption tower was measured 3x the image tower's cost,
+# ~1 blake2b per token OCCURRENCE), so each unique token is hashed once
+# per long-lived Python worker. The digest is a pure function of the
+# token, so the accumulated vector is bit-identical; the cap bounds
+# memory on adversarial vocabularies.
+_TOK_DIGEST_CACHE: dict[str, int] = {}
+_TOK_DIGEST_CACHE_MAX = 1 << 20
+
+
+def _tok_digest(tok: str) -> int:
+    d = _TOK_DIGEST_CACHE.get(tok)
+    if d is None:
+        import hashlib
+
+        if len(_TOK_DIGEST_CACHE) >= _TOK_DIGEST_CACHE_MAX:
+            _TOK_DIGEST_CACHE.clear()
+        d = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+        _TOK_DIGEST_CACHE[tok] = d
+    return d
+
+
 def _caption_vec(caption: str | None, dim: int = 64) -> np.ndarray:
     """The caption-tower spec as a pure function (shared by
     caption_embedding and model_gate_passthrough)."""
-    import hashlib
-
     v = np.zeros(dim, dtype=np.float32)
-    for tok in (caption or "").lower().split():
-        d = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
-        v[d % dim] += 1.0 if ((d >> 6) & 1) == 0 else -1.0
+    toks = (caption or "").lower().split()
+    if toks:
+        ds = [_tok_digest(t) for t in toks]
+        idx = np.fromiter((d % dim for d in ds), dtype=np.int64, count=len(ds))
+        sgn = np.fromiter(
+            (1.0 if ((d >> 6) & 1) == 0 else -1.0 for d in ds), dtype=np.float32, count=len(ds)
+        )
+        # ONE ordered scatter-add instead of a numpy scalar `+=` per token
+        # (measured the dominant cost); np.add.at applies updates in index
+        # order, so the float32 accumulation is bit-identical to the
+        # sequential loop the fixtures pin.
+        np.add.at(v, idx, sgn)
     n = float(np.linalg.norm(v)) or 1.0
     return (v / n).astype(np.float32)
 
