@@ -142,13 +142,6 @@ def get_spark(
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.adaptive.localShuffleReader.enabled", "true"),
-        # Text rows are CPU-dense: 1 MB of shuffled captions can carry a
-        # second of downstream expression work, so letting AQE coalesce a
-        # small shuffle to one task serializes it (measured: the trim
-        # pipeline's island-merge ran as a single 1.1 s task). 64k keeps
-        # post-shuffle parallelism for small-but-heavy stages; at scale
-        # partitions dwarf this floor and the setting is inert.
-        ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.execution.arrow.maxRecordsPerBatch", "10000"),
         ("spark.sql.session.timeZone", "UTC"),
