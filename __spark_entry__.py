@@ -2073,8 +2073,14 @@ def q_resume_roundtrip(spark, sf_dir):
         pass
     done_after_crash = set(tables_mod.completed_partitions(spark, result_path))
     resumed = tables_mod.run_resumable(spark, parts, result_path, lambda df: df)
-    # resume must touch ONLY the partitions the crash left pending
-    assert set(resumed) == set(parts) - done_after_crash, (resumed, done_after_crash)
+    # resume must touch ONLY the partitions the crash left pending — an
+    # explicit raise, not `assert` (compiled out under python -O, which
+    # would silently weaken the value-checked contract; ADVICE r5)
+    if set(resumed) != set(parts) - done_after_crash:
+        raise RuntimeError(
+            f"resume processed {sorted(resumed)} but pending was "
+            f"{sorted(set(parts) - done_after_crash)}"
+        )
     out = spark.read.parquet(result_path)
     return out.select(
         "doc_id", "lang", "length", "keep", "bucket", F.col("part_id").cast("string").alias("part_id")
@@ -2640,7 +2646,14 @@ def q_aspect_bucket_pack(spark, sf_dir):
     from ccnet_spark_spark.operators.aspect import aspect_bucket, pack_batches
     from ccnet_spark_spark.synth import generate_pairs
 
-    pairs = generate_pairs(spark, 400).select("image_id", "w", "h")
+    # mirror the twin's validity predicate on the ENGINE side: the twin's
+    # WHERE drops NULL/non-positive dims entirely while pack_batches keeps
+    # them with NULL bucket ids — a latent row-set asymmetry on any corpus
+    # containing invalid dims (ADVICE r5; the synthetic corpus has none,
+    # so current output is unchanged)
+    pairs = generate_pairs(spark, 400).select("image_id", "w", "h").where(
+        F.col("w").isNotNull() & F.col("h").isNotNull() & (F.col("w") > 0) & (F.col("h") > 0)
+    )
     return pack_batches(aspect_bucket(pairs), batch_size=8, shards=4)
 
 

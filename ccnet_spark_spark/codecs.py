@@ -71,10 +71,23 @@ def parse_header(data: bytes) -> tuple[list[bytes], int, int]:
     return toks, i + 1, n_comments
 
 
+_DIGITS = _re.compile(rb"\d+\Z")
+
+
+def _int_tok(tok: bytes) -> int:
+    """Strict header-int parse: bare int() accepts underscore grouping and
+    sign prefixes (int(b"1_6") == 16) — the exact class classify_payload
+    rejects — so a spec-invalid header like "1_6" must raise here too, not
+    be silently canonicalized (ADVICE r5)."""
+    if not _DIGITS.match(tok):
+        raise ValueError(f"non-numeric header token: {tok!r}")
+    return int(tok)
+
+
 def decode_ppm(data: bytes) -> np.ndarray:
     (magic, w, h, _maxv), off, _ = parse_header(data)
     assert magic == b"P6", f"not a P6 ppm: {magic!r}"
-    w, h = int(w), int(h)
+    w, h = _int_tok(w), _int_tok(h)
     return np.frombuffer(data[off:], dtype=np.uint8).reshape(h, w, 3)
 
 
@@ -93,7 +106,7 @@ def strip_metadata(data: bytes, fmt: str) -> tuple[bytes, int]:
     (magic, w, h, last), off, n_comments = parse_header(data)
     expect = b"P6" if fmt == "ppm" else b"QJ"
     assert magic == expect, f"fmt={fmt!r} but magic={magic!r}"
-    return b"%s %d %d %d\n" % (magic, int(w), int(h), int(last)) + data[off:], n_comments
+    return b"%s %d %d %d\n" % (magic, _int_tok(w), _int_tok(h), _int_tok(last)) + data[off:], n_comments
 
 
 def encode_qjpg(pixels: np.ndarray, step: int = QJPG_STEP) -> bytes:
@@ -105,7 +118,7 @@ def encode_qjpg(pixels: np.ndarray, step: int = QJPG_STEP) -> bytes:
 def decode_qjpg(data: bytes) -> np.ndarray:
     (magic, w, h, step), off, _ = parse_header(data)
     assert magic == b"QJ", f"not a qjpg: {magic!r}"
-    w, h, step = int(w), int(h), int(step)
+    w, h, step = _int_tok(w), _int_tok(h), _int_tok(step)
     q = np.frombuffer(data[off:], dtype=np.uint8).reshape(h, w, 3)
     return np.clip(q.astype(np.int32) * step + step // 2, 0, 255).astype(np.uint8)
 

@@ -167,6 +167,12 @@ def group_quota(
     compares ids)."""
     if quota <= 0:
         raise ValueError(f"quota must be positive, got {quota}")
+    # reserved-column collision guard (same class of check as
+    # epoch_shuffle/token_budget_select; ADVICE r5): a user column named
+    # like the join aliases would be silently clobbered and dropped
+    for reserved in ("__gq_g", "__gq_cut_h", "__gq_cut_id"):
+        if reserved in df.columns:
+            raise ValueError(f"group_quota reserves column name {reserved!r}")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h = F.sha2(c.cast("string"), 256)
 
@@ -242,6 +248,9 @@ def weighted_repeat(
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     if any(f < 0 for f in factors.values()) or default < 0:
         raise ValueError("repeat factors must be >= 0")
+    for reserved in ("__rep_stratum", "__rep_whole", "__rep_thr"):
+        if reserved in df.columns:
+            raise ValueError(f"weighted_repeat reserves column name {reserved!r}")
 
     def split(f: float) -> tuple[int, str]:
         whole = int(f)

@@ -31,6 +31,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import uuid
 import io
 import os
 import tarfile
@@ -216,7 +217,11 @@ def write_webdataset(
         shard_id = int(pdf["shard_id"].iloc[0])
         blob = _tar_bytes(pdf.to_dict("records"))
         tar_path = os.path.join(path, f"shard-{shard_id:012x}.tar")
-        tmp = tar_path + ".inprogress"
+        # per-ATTEMPT staging name: two concurrent attempts of one task
+        # (speculative execution / zombie task) must never interleave
+        # writes into one staging file — os.replace still publishes
+        # atomically and last-writer-wins over identical bytes (ADVICE r5)
+        tmp = f"{tar_path}.inprogress-{uuid.uuid4().hex}"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, tar_path)  # atomic publish; retries overwrite equal bytes
