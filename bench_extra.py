@@ -30,16 +30,21 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def _stage_totals(spark):
     """(shuffle_read_bytes, shuffle_write_bytes) summed over all completed
-    stages, via the JVM app status store. Best-effort: returns (0, 0) when
-    the py4j surface drifts."""
+    stages, via the UI REST API (the harness enables the UI for exactly
+    this). Best-effort: returns (0, 0) when the UI is off."""
     try:
-        store = spark.sparkContext._jsc.sc().statusStore()
-        seq = store.stageList(None)
-        rd = wr = 0
-        for i in range(seq.size()):
-            s = seq.apply(i)
-            rd += s.shuffleReadBytes()
-            wr += s.shuffleWriteBytes()
+        import json as _json
+        import urllib.request
+
+        app = spark.sparkContext.applicationId
+        port = spark.sparkContext.getConf().get("spark.ui.port", "4040")
+        stages = _json.load(
+            urllib.request.urlopen(
+                f"http://localhost:{port}/api/v1/applications/{app}/stages", timeout=5
+            )
+        )
+        rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+        wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
         return rd, wr
     except Exception:
         return 0, 0
@@ -64,7 +69,11 @@ def main() -> None:
     from bench import BENCH_QUERIES
     from ccnet_spark_spark.session import get_spark
 
-    spark = get_spark(app_name="ccnet_bench_extra", cores=CPUS)
+    spark = get_spark(
+        app_name="ccnet_bench_extra",
+        cores=CPUS,
+        extra_conf={"spark.ui.enabled": "true"},  # for the shuffle-byte probe
+    )
     entrymod._ensure_pkg(spark)
     qs = entrymod.queries()
 
