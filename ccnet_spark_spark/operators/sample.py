@@ -412,7 +412,24 @@ def token_budget_select(
         .withColumn("_tb_h", F.sha2(c.cast("string"), 256))
         .localCheckpoint()
     )
-    bands = base.groupBy(score_col).agg(F.sum(cost_col).alias("_t")).collect()
+    # FAIL-SAFE on the bounded-score-cardinality precondition (VERDICT r5
+    # #4): a caller passing raw unrounded doubles would silently turn this
+    # driver collect corpus-sized. limit(N+1) bounds the transfer at ZERO
+    # extra jobs — the aggregation runs either way — and the length probe
+    # turns the violation into a loud error instead of a driver OOM.
+    _MAX_SCORE_BANDS = 100_000
+    bands = (
+        base.groupBy(score_col)
+        .agg(F.sum(cost_col).alias("_t"))
+        .limit(_MAX_SCORE_BANDS + 1)
+        .collect()
+    )
+    if len(bands) > _MAX_SCORE_BANDS:
+        raise ValueError(
+            f"token_budget_select requires a bounded-cardinality score column "
+            f"(> {_MAX_SCORE_BANDS} distinct values seen) — round the score "
+            f"(e.g. to 4dp) before budgeting"
+        )
     bands.sort(key=lambda r: r[score_col], reverse=True)
     rem, boundary = int(budget), None
     for r in bands:

@@ -85,3 +85,25 @@ def test_strict_header_ints_rejected():
     bad = b"P6 1_6 2 255\n" + b"x" * 96
     with pytest.raises(ValueError):
         codecs.decode_ppm(bad)
+
+
+def test_token_budget_guard_on_unbounded_scores(spark):
+    # VERDICT r5 #4: a continuous (unrounded-double) score column must hit
+    # the bounded-cardinality guard instead of silently turning the
+    # driver-side band collect corpus-sized
+    from ccnet_spark_spark.operators import sample
+
+    df = spark.range(150_000).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64("id").cast("double") / 1e18).alias("score"),
+        F.lit(10).alias("n_tokens"),
+    )
+    with pytest.raises(ValueError, match="bounded-cardinality"):
+        sample.token_budget_select(df, budget=1000, score_col="score", cost_col="n_tokens")
+    ok = sample.token_budget_select(
+        df.withColumn("score", F.round("score", 2)),
+        budget=1000,
+        score_col="score",
+        cost_col="n_tokens",
+    )
+    assert ok.count() == 100
